@@ -1,0 +1,108 @@
+"""Device-resident keyframe store shared by every object NeRF.
+
+Equivalent of the reference's NeRF_Dataset GPU arrays (ref
+Core/src/nerf_data.cu: MetaData{pixels, depth, instance, Pose}, intrinsics),
+with TPU-minded changes:
+
+  * pixels are stored as uint8 in HBM (the reference stores fp32, 4x the
+    bandwidth/footprint; we convert after the gather);
+  * struct-of-arrays with a fixed frame capacity (static shapes for jit);
+    the online mode preallocates capacity like the reference preallocates
+    nimages/3 slots (ref src/System.cc:135-138);
+  * a single store serves all objects (the reference replicates the dataset
+    per GPU; on a TPU mesh the store is replicated across devices by the
+    sharding layer, see parallel/sharding.py).
+
+Host-side bookkeeping (stamp -> index) lives in FrameStore; the jnp arrays
+(FrameArrays) are what flows into jitted train/render steps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FrameArrays(NamedTuple):
+    """Device arrays with a fixed frame capacity F (leading axis)."""
+
+    pixels: jax.Array  # [F, H, W, 3] uint8, RGB
+    depth: jax.Array  # [F, H, W] float32 ray-independent z-depth, or [1,1,1]
+    instance: jax.Array  # [F, H, W] uint8 instance/class mask
+    poses: jax.Array  # [F, 4, 4] float32 Twc (camera-to-world)
+    intrinsics: jax.Array  # [4] float32 (fx, fy, cx, cy)
+
+    @property
+    def has_depth(self) -> bool:
+        return self.depth.ndim == 3 and self.depth.shape[1] > 1
+
+
+class FrameStore:
+    """Host coordinator over FrameArrays (stamp->idx map + incremental upload)."""
+
+    def __init__(
+        self,
+        capacity: int,
+        h: int,
+        w: int,
+        intrinsics,
+        use_depth: bool,
+        depth_scale: float = 1.0,
+    ):
+        self.capacity = capacity
+        self.h = h
+        self.w = w
+        self.use_depth = use_depth
+        self.depth_scale = depth_scale
+        self.stamp_to_idx: dict[str, int] = {}
+        self.count = 0
+        # Host staging buffers (numpy); pushed to device lazily in batches.
+        self._pixels = np.zeros((capacity, h, w, 3), np.uint8)
+        self._depth = (
+            np.zeros((capacity, h, w), np.float32)
+            if use_depth
+            else np.zeros((1, 1, 1), np.float32)
+        )
+        self._instance = np.zeros((capacity, h, w), np.uint8)
+        self._poses = np.tile(np.eye(4, dtype=np.float32), (capacity, 1, 1))
+        self._intrinsics = np.asarray(intrinsics, np.float32)
+        self._dirty = True
+        self._arrays: FrameArrays | None = None
+
+    def add_frame(
+        self, idx: int, stamp: str, rgb_u8, instance_u8, pose_twc, depth=None
+    ) -> None:
+        """Upload one keyframe (ref NeRF_Dataset::FrameDataToGPU nerf_data.cu:273-339)."""
+        if idx >= self.capacity:
+            raise ValueError(f"frame store full: idx {idx} >= capacity {self.capacity}")
+        self.stamp_to_idx[stamp] = idx
+        self._pixels[idx] = rgb_u8
+        self._instance[idx] = instance_u8
+        self._poses[idx] = np.asarray(pose_twc, np.float32)
+        if self.use_depth and depth is not None:
+            self._depth[idx] = np.asarray(depth, np.float32) * self.depth_scale
+        self.count = max(self.count, idx + 1)
+        self._dirty = True
+
+    def update_poses(self, start: int, poses) -> None:
+        """Rewrite a pose window (ref NeRF_Dataset::UpdateDataGPU nerf_data.cu:341-353)."""
+        poses = np.asarray(poses, np.float32)
+        self._poses[start : start + len(poses)] = poses
+        self._dirty = True
+
+    def arrays(self, sharding=None) -> FrameArrays:
+        """Device view; re-uploads only when host buffers changed."""
+        if self._dirty or self._arrays is None:
+            put = (lambda x: jax.device_put(x, sharding)) if sharding else jnp.asarray
+            self._arrays = FrameArrays(
+                pixels=put(self._pixels),
+                depth=put(self._depth),
+                instance=put(self._instance),
+                poses=put(self._poses),
+                intrinsics=put(self._intrinsics),
+            )
+            self._dirty = False
+        return self._arrays

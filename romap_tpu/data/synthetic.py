@@ -1,0 +1,163 @@
+"""Synthetic multi-object scenes with analytic ground truth.
+
+The reference validates end-to-end on a synthetic `room` sequence with GT
+poses/bboxes/depth (README.md:72); that dataset is not shipped, so this module
+generates equivalent scenes analytically: lambertian-ish colored spheres and
+boxes on a transparent background, ray-traced in NumPy at arbitrary
+resolution, with exact instance masks, z-depth, camera poses, and per-frame
+2D bboxes. Used by tests, the offline-runner e2e test, and bench.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SphereObject:
+    center: np.ndarray  # [3] world
+    radius: float
+    instance_id: int
+    base_color: np.ndarray  # [3] in [0,1]
+
+    def aabb_half_extents(self) -> np.ndarray:
+        return np.full(3, self.radius, np.float32)
+
+    def hit(self, o, d):
+        """Ray-sphere: o [..,3], d unit [..,3] -> (t, hit). Nearest positive root."""
+        oc = o - self.center
+        b = np.sum(oc * d, -1)
+        c = np.sum(oc * oc, -1) - self.radius**2
+        disc = b * b - c
+        ok = disc > 0
+        sq = np.sqrt(np.maximum(disc, 0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t = np.where(t0 > 1e-3, t0, t1)
+        return t, ok & (t > 1e-3)
+
+    def shade(self, p):
+        """Color at surface point: base color modulated by the normal (view-
+        consistent, so a NeRF can fit it exactly)."""
+        n = (p - self.center) / self.radius
+        mod = 0.5 + 0.5 * n  # [-1,1] -> [0,1] per axis
+        return np.clip(self.base_color * (0.35 + 0.65 * mod), 0, 1)
+
+
+@dataclasses.dataclass
+class Camera:
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    h: int
+    w: int
+
+    @property
+    def intrinsics(self):
+        return np.array([self.fx, self.fy, self.cx, self.cy], np.float32)
+
+
+def look_at_pose(eye, target, up=(0, 0, 1.0)):
+    """Twc with camera +z looking at target (OpenCV convention: x right, y down)."""
+    eye = np.asarray(eye, np.float64)
+    z = np.asarray(target, np.float64) - eye
+    z /= np.linalg.norm(z)
+    x = np.cross(z, np.asarray(up, np.float64))
+    if np.linalg.norm(x) < 1e-6:
+        x = np.array([1.0, 0, 0])
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    twc = np.eye(4, dtype=np.float32)
+    twc[:3, 0], twc[:3, 1], twc[:3, 2], twc[:3, 3] = x, y, z, eye
+    return twc
+
+
+def render_frame(cam: Camera, twc: np.ndarray, objects: list[SphereObject]):
+    """Analytic render -> (rgb u8 [H,W,3], depth f32 z [H,W], instance u8 [H,W])."""
+    ys, xs = np.mgrid[0 : cam.h, 0 : cam.w]
+    d_cam = np.stack(
+        [(xs - cam.cx) / cam.fx, (ys - cam.cy) / cam.fy, np.ones_like(xs, np.float64)],
+        -1,
+    )
+    d_norm = np.linalg.norm(d_cam, axis=-1)
+    d = d_cam / d_norm[..., None]
+    r, t = twc[:3, :3], twc[:3, 3]
+    d_w = d @ r.T
+    o_w = np.broadcast_to(t, d_w.shape)
+
+    best_t = np.full((cam.h, cam.w), np.inf)
+    rgb = np.ones((cam.h, cam.w, 3))  # white background
+    inst = np.zeros((cam.h, cam.w), np.uint8)
+    for obj in objects:
+        th, hit = obj.hit(o_w, d_w)
+        closer = hit & (th < best_t)
+        p = o_w + th[..., None] * d_w
+        col = obj.shade(p)
+        rgb = np.where(closer[..., None], col, rgb)
+        inst = np.where(closer, np.uint8(obj.instance_id), inst)
+        best_t = np.where(closer, th, best_t)
+
+    # best_t is distance along the unit ray; camera z-depth = t / |d_cam|
+    zdepth = np.where(np.isfinite(best_t), best_t / d_norm, 0.0)
+    return (rgb * 255).astype(np.uint8), zdepth.astype(np.float32), inst
+
+
+def instance_bbox(inst: np.ndarray, instance_id: int):
+    """Tight 2D bbox (x, y, h, w) of an instance mask, or None."""
+    ys, xs = np.nonzero(inst == instance_id)
+    if len(ys) == 0:
+        return None
+    x0, x1 = int(xs.min()), int(xs.max())
+    y0, y1 = int(ys.min()), int(ys.max())
+    return (x0, y0, y1 - y0 + 1, x1 - x0 + 1)
+
+
+def orbit_eye(target, radius, theta, phi=0.5):
+    return np.array(
+        [
+            target[0] + radius * np.cos(theta) * np.cos(phi),
+            target[1] + radius * np.sin(theta) * np.cos(phi),
+            target[2] + radius * np.sin(phi),
+        ]
+    )
+
+
+def make_scene(n_objects: int = 1, seed: int = 0) -> list[SphereObject]:
+    rng = np.random.default_rng(seed)
+    objs = []
+    for i in range(n_objects):
+        angle = 2 * np.pi * i / max(n_objects, 1)
+        center = np.array([2.5 * np.cos(angle), 2.5 * np.sin(angle), 0.0]) if n_objects > 1 else np.zeros(3)
+        objs.append(
+            SphereObject(
+                center=center,
+                radius=float(rng.uniform(0.35, 0.55)),
+                instance_id=i + 1,
+                base_color=rng.uniform(0.3, 1.0, 3),
+            )
+        )
+    return objs
+
+
+def make_sequence(
+    cam: Camera, objects: list[SphereObject], n_frames: int, radius: float = 2.0,
+    target=None, seed: int = 0,
+):
+    """Orbit sequence around the scene -> list of dicts with all GT."""
+    frames = []
+    center = np.mean([o.center for o in objects], axis=0) if target is None else np.asarray(target)
+    for k in range(n_frames):
+        theta = 2 * np.pi * k / n_frames
+        phi = 0.45 + 0.15 * np.sin(3 * theta)
+        eye = orbit_eye(center, radius, theta, phi)
+        twc = look_at_pose(eye, center)
+        rgb, depth, inst = render_frame(cam, twc, objects)
+        bboxes = {o.instance_id: instance_bbox(inst, o.instance_id) for o in objects}
+        frames.append(
+            dict(stamp=f"{k:06d}.{0:04d}", rgb=rgb, depth=depth, instance=inst,
+                 twc=twc, bboxes=bboxes)
+        )
+    return frames

@@ -1,0 +1,387 @@
+"""The batched multi-object NeRF: one parameter table, one train step.
+
+This module inverts the reference's thread-per-object architecture
+(ref Core/src/nerf_manager.cu:256-260): every object NeRF lives as one row of
+a batched parameter pytree (hash table [O, T, F], MLP weights [O, ...]) inside
+a fixed-capacity object table. A single jitted, vmapped `train_objects` step
+trains all active objects at once — 64-wide MLPs only saturate a TPU when the
+object x ray x sample axes are fused into large matmuls — and one shared
+optimizer update advances them, with per-object masking standing in for
+object creation/finish (no threads, no locks; device state is functional).
+
+Pipeline per object (all static shapes):
+  generate_batch   <- GenerateRays + fill_rollover_rays + GenerateInputPoints
+                      (ref nerf_model.cu:369-446, 280-294, 536-591); the CUDA
+                      atomicAdd compaction becomes a stable argsort + modular
+                      rollover gather.
+  field_apply      <- tcnn NetworkWithInputEncoding (hash grid + tiny MLP)
+  composite_loss   <- VolumeRender + VolumeRenderGradient_No_Compacted via
+                      jax.grad (ops/losses.py)
+  optimizer        <- Adam(1e-2,.9,.99,eps 1e-15) + l2 1e-6 + exp-decay
+                      schedule + params-EMA(.95) (ref base.json:5-22)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from romap_tpu.config import NerfConfig
+from romap_tpu.data.frame_store import FrameArrays
+from romap_tpu.ops import hashgrid, mxgrid
+from romap_tpu.ops.geometry import (
+    camera_rays,
+    ray_aabb_intersect,
+    stratified_distances,
+    warp_point,
+)
+from romap_tpu.ops.losses import RayBatch, composite_loss
+from romap_tpu.ops.mlp import apply_mlp, init_mlp
+from romap_tpu.ops.render import render_composite, volume_render
+
+
+# --------------------------------------------------------------------------
+# Parameters and state
+# --------------------------------------------------------------------------
+
+
+def make_field_spec(cfg: NerfConfig):
+    """Static encoding spec from config (mxgrid or hashgrid)."""
+    if cfg.encoding.kind == "mxgrid":
+        return mxgrid.make_mxspec(
+            n_levels=cfg.encoding.mx_levels,
+            base_resolution=cfg.encoding.base_resolution,
+            max_resolution=cfg.encoding.mx_max_resolution,
+            features=cfg.encoding.mx_features,
+        )
+    return hashgrid.make_spec(cfg.encoding)
+
+
+def init_object_params(key: jax.Array, cfg: NerfConfig, spec):
+    """Parameters of ONE object NeRF (vmap over keys for the batched table)."""
+    k_table, k_mlp = jax.random.split(key)
+    if isinstance(spec, mxgrid.MXGridSpec):
+        table = mxgrid.init_mxgrid(k_table, spec)
+    else:
+        table = hashgrid.init_table(k_table, spec)
+    return {
+        "table": table,
+        "mlp": init_mlp(k_mlp, spec.n_output_dims, cfg.network),
+    }
+
+
+def field_apply(params, points: jax.Array, cfg: NerfConfig, spec) -> jax.Array:
+    """points [..., 3] in [0,1]^3 -> raw (rgb logits, log-sigma) [..., 4]."""
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    table = params["table"].astype(dtype)
+    if isinstance(spec, mxgrid.MXGridSpec):
+        feats = mxgrid.encode(table, points, spec)
+    else:
+        feats = hashgrid.encode(table, points, spec)
+    return apply_mlp(params["mlp"], feats.astype(dtype), cfg.network)
+
+
+class ObjectsState(NamedTuple):
+    """Fixed-capacity object table (leading axis O = object slots)."""
+
+    aabb_min: jax.Array  # [O, 3] object-frame bbox (already inflated)
+    aabb_max: jax.Array  # [O, 3]
+    tow: jax.Array  # [O, 4, 4] world->object transforms
+    instance_id: jax.Array  # [O] int32 instance/class id in the masks
+    bboxes: jax.Array  # [O, B, 5] int32 (frame_id, x, y, h, w)
+    n_bbox: jax.Array  # [O] int32 valid rows in bboxes
+    active: jax.Array  # [O] bool slot in use & allowed to train
+
+    @property
+    def capacity(self) -> int:
+        return self.aabb_min.shape[0]
+
+
+def empty_objects(capacity: int, max_bboxes: int) -> ObjectsState:
+    return ObjectsState(
+        aabb_min=jnp.zeros((capacity, 3), jnp.float32),
+        aabb_max=jnp.ones((capacity, 3), jnp.float32),
+        tow=jnp.tile(jnp.eye(4, dtype=jnp.float32), (capacity, 1, 1)),
+        instance_id=jnp.zeros((capacity,), jnp.int32),
+        bboxes=jnp.zeros((capacity, max_bboxes, 5), jnp.int32),
+        n_bbox=jnp.zeros((capacity,), jnp.int32),
+        active=jnp.zeros((capacity,), bool),
+    )
+
+
+class TrainState(NamedTuple):
+    """Per-object training state, all leaves carry a leading O axis."""
+
+    params: Any  # batched pytree
+    ema: Any  # EMA of params, used for inference/render/mesh (tcnn Ema)
+    opt_state: Any  # optax state (batched)
+    key: jax.Array  # [O, 2] uint32 per-object PRNG keys
+    step: jax.Array  # [O] int32 per-object training step counter
+    loss: jax.Array  # [O] float32 last logged loss (ref mfPerTrainLoss)
+
+
+def make_optimizer(cfg: NerfConfig) -> optax.GradientTransformation:
+    """Adam + additive L2, lr applied separately via the exp-decay schedule.
+
+    zero_nans guards against a single bad batch poisoning a slot's params
+    (tcnn's fp16 pipeline drops inf/nan steps via its loss-scaler; this is
+    the fp32 equivalent).
+    """
+    o = cfg.optimizer
+    return optax.chain(
+        optax.zero_nans(),
+        optax.add_decayed_weights(o.l2_reg),
+        optax.scale_by_adam(b1=o.beta1, b2=o.beta2, eps=o.epsilon),
+    )
+
+
+def learning_rate(cfg: NerfConfig, step: jax.Array) -> jax.Array:
+    """ExponentialDecay(start 20k, interval 10k, base .33) around Adam.
+
+    (ref base.json:10-14; tcnn multiplies by decay_base once at decay_start and
+    again every decay_interval steps.)
+    """
+    o = cfg.optimizer
+    n = jnp.maximum(0, (step - o.decay_start) // o.decay_interval + 1)
+    return o.learning_rate * o.decay_base ** n.astype(jnp.float32)
+
+
+def init_train_state(
+    key: jax.Array, capacity: int, cfg: NerfConfig, spec
+) -> TrainState:
+    keys = jax.random.split(key, capacity)
+    params = jax.vmap(lambda k: init_object_params(k, cfg, spec))(keys)
+    tx = make_optimizer(cfg)
+    opt_state = jax.vmap(tx.init)(params)
+    return TrainState(
+        params=params,
+        ema=jax.tree.map(jnp.copy, params),
+        opt_state=opt_state,
+        key=jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys),
+        step=jnp.zeros((capacity,), jnp.int32),
+        loss=jnp.zeros((capacity,), jnp.float32),
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch generation (ref GenerateRays nerf_model.cu:369-446)
+# --------------------------------------------------------------------------
+
+
+def generate_batch(
+    key: jax.Array,
+    frames: FrameArrays,
+    aabb_min: jax.Array,
+    aabb_max: jax.Array,
+    tow: jax.Array,
+    instance_id: jax.Array,
+    bboxes: jax.Array,
+    n_bbox: jax.Array,
+    cfg: NerfConfig,
+    *,
+    use_depth: bool,
+) -> RayBatch:
+    """Sample one training batch of R rays x S samples for one object.
+
+    Rays are drawn uniformly inside the per-frame 2D bboxes, round-robin over
+    bboxes (ref :381). Pixels of OTHER objects are occluders and their rays
+    are dropped (ref :398-401); rays missing the object AABB are dropped
+    (ref :415-424). Surviving rays are compacted (stable, deterministic —
+    the CUDA version's atomicAdd order is not) and rolled over modulo the
+    valid count to fill the batch (ref fill_rollover_rays :280-294).
+    """
+    r = cfg.train.rays_per_batch
+    s = cfg.train.samples_per_ray
+    k_xy, k_color, k_jitter = jax.random.split(key, 3)
+
+    i = jnp.arange(r)
+    idx_box = i % jnp.maximum(n_bbox, 1)
+    box = bboxes[idx_box]  # [R, 5] (fid, x, y, h, w)
+    fid, bx, by, bh, bw = box[:, 0], box[:, 1], box[:, 2], box[:, 3], box[:, 4]
+
+    u = jax.random.uniform(k_xy, (r, 2))
+    x = bx + (u[:, 0] * bw.astype(jnp.float32)).astype(jnp.int32)
+    y = by + (u[:, 1] * bh.astype(jnp.float32)).astype(jnp.int32)
+
+    inst = frames.instance[fid, y, x].astype(jnp.int32)  # [R]
+    occluded = (inst != 0) & (inst != instance_id)
+
+    pose = frames.poses[fid]  # [R, 4, 4]
+    o, d, d_norm = camera_rays(x, y, frames.intrinsics, pose, tow)
+    tmin, tmax, hit = ray_aabb_intersect(o, d, aabb_min, aabb_max)
+    tmin = jnp.maximum(tmin, 0.0)
+
+    valid = hit & ~occluded
+    is_obj = valid & (inst != 0)
+
+    rgb_pix = frames.pixels[fid, y, x].astype(jnp.float32) / 255.0
+    colors = jax.random.uniform(k_color, (r, 3))
+    rgb_target = jnp.where(is_obj[:, None], rgb_pix, colors)
+
+    if use_depth:
+        depth_target = jnp.where(is_obj, frames.depth[fid, y, x] * d_norm, 0.0)
+    else:
+        depth_target = jnp.zeros((r,), jnp.float32)
+
+    # Deterministic compaction + modular rollover.
+    order = jnp.argsort(~valid, stable=True)
+    n_valid = jnp.sum(valid)
+    take = order[i % jnp.maximum(n_valid, 1)]
+
+    o, d, d_norm = o[take], d[take], d_norm[take]
+    tmin, tmax = tmin[take], tmax[take]
+    rgb_target, depth_target = rgb_target[take], depth_target[take]
+    is_obj, colors = is_obj[take], colors[take]
+
+    jitter = jax.random.uniform(k_jitter, (r, s))
+    t = stratified_distances(tmin, tmax, jitter, s)  # [R, S]
+    pts = o[:, None, :] + t[..., None] * d[:, None, :]
+    pts = warp_point(pts, aabb_min, aabb_max)
+
+    return RayBatch(
+        points=pts,
+        t=t,
+        rgb_target=rgb_target,
+        depth_target=depth_target,
+        is_object=is_obj,
+        bg_color=colors,
+        valid=n_valid > 0,
+    )
+
+
+# --------------------------------------------------------------------------
+# Train step (single object -> vmapped over the object table)
+# --------------------------------------------------------------------------
+
+
+def _object_train_step(params, ema, opt_state, key, step, frames, obj, cfg, spec, tx, use_depth):
+    """One SGD step for one object slot. Closed over static cfg/spec/tx."""
+    aabb_min, aabb_max, tow, instance_id, bboxes, n_bbox, active = obj
+    key, k_batch = jax.random.split(key)
+    batch = generate_batch(
+        k_batch, frames, aabb_min, aabb_max, tow, instance_id, bboxes, n_bbox,
+        cfg, use_depth=use_depth,
+    )
+
+    def loss_fn(p):
+        raw = field_apply(p, batch.points, cfg, spec)
+        return composite_loss(raw, batch, cfg.train)
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    lr = learning_rate(cfg, step)
+    new_params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+    decay = cfg.optimizer.ema_decay
+    new_ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema, new_params)
+
+    # Inactive slots / empty batches: keep ALL state unchanged.
+    ok = active & batch.valid
+    keep = lambda old, new: jax.tree.map(lambda a, b: jnp.where(ok, b, a), old, new)
+    params = keep(params, new_params)
+    ema = keep(ema, new_ema)
+    opt_state = keep(opt_state, new_opt_state)
+    step = jnp.where(ok, step + 1, step)
+    logged = jnp.where(ok, aux["logged_loss"], 0.0)
+    return params, ema, opt_state, key, step, logged
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "n_iters", "use_depth"),
+         donate_argnames=("state",))
+def train_objects(
+    state: TrainState,
+    objects: ObjectsState,
+    frames: FrameArrays,
+    cfg: NerfConfig,
+    spec: hashgrid.HashGridSpec,
+    n_iters: int,
+    use_depth: bool = False,
+) -> TrainState:
+    """Run n_iters synchronized training steps over ALL object slots.
+
+    The per-object step is vmapped over the object axis; the reference's
+    per-object threads x 500-iteration waves (ref Train_Step nerf_model.cu:
+    1630-1665) become a fori_loop around one fused step.
+    """
+    tx = make_optimizer(cfg)
+    obj_tuple = (
+        objects.aabb_min, objects.aabb_max, objects.tow, objects.instance_id,
+        objects.bboxes, objects.n_bbox, objects.active,
+    )
+
+    step_fn = jax.vmap(
+        lambda p, e, s, k, st, ob: _object_train_step(
+            p, e, s, k, st, frames, ob, cfg, spec, tx, use_depth
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0),
+    )
+
+    def body(_, st: TrainState) -> TrainState:
+        params, ema, opt_state, key, step, logged = step_fn(
+            st.params, st.ema, st.opt_state, st.key, st.step, obj_tuple
+        )
+        return TrainState(params, ema, opt_state, key, step, logged)
+
+    return jax.lax.fori_loop(0, n_iters, body, state)
+
+
+# --------------------------------------------------------------------------
+# Inference: ray rendering + density grid (use EMA params, like tcnn's Ema)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "n_samples", "background"))
+def render_rays(
+    params,
+    o: jax.Array,
+    d: jax.Array,
+    d_norm: jax.Array,
+    tmin: jax.Array,
+    tmax: jax.Array,
+    in_bbox: jax.Array,
+    jitter: jax.Array,
+    aabb_min: jax.Array,
+    aabb_max: jax.Array,
+    cfg: NerfConfig,
+    spec,
+    n_samples: int = 64,
+    background: float = 1.0,
+):
+    """Render a padded bundle of rays for ONE object (fp32, 64 samples/ray).
+
+    Equivalent of GenerateRenderInputPoints + inference + VolumeRender_Render
+    (ref nerf_model.cu:593-626, 1134-1229): gray background, mask threshold
+    0.5, depth divided by d_norm.
+    """
+    t = stratified_distances(tmin, tmax, jitter, n_samples)
+    pts = warp_point(o[:, None, :] + t[..., None] * d[:, None, :], aabb_min, aabb_max)
+    raw = field_apply(params, pts, cfg, spec).astype(jnp.float32)
+    out = volume_render(raw, t, jnp.full((3,), background, jnp.float32))
+    return render_composite(out, d_norm, in_bbox, background)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "res"))
+def density_on_grid(params, cfg: NerfConfig, spec, res: int) -> jax.Array:
+    """Densities on a uniform res^3 grid over the unit cube (z-major flat order)
+    (ref generate_grid_samples_nerf_uniform + GetDensityOnGrid,
+    nerf_model.cu:296-309, 2007-2043).
+    """
+    lin = jnp.arange(res, dtype=jnp.float32) / (res - 1)
+    z, y, x = jnp.meshgrid(lin, lin, lin, indexing="ij")  # idx = x + y*res + z*res^2
+    pts = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+    raw = field_apply(params, pts, cfg, spec)
+    return jnp.exp(raw[..., 3].astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec"))
+def colors_at_points(params, pts: jax.Array, cfg: NerfConfig, spec) -> jax.Array:
+    """RGB (logistic-activated) at warped points — mesh vertex colors
+    (ref compute_mesh_vertex_colors nerf_model.cu:2045-2067)."""
+    raw = field_apply(params, pts, cfg, spec).astype(jnp.float32)
+    return jax.nn.sigmoid(raw[..., :3])
