@@ -1,0 +1,73 @@
+"""Headline benchmark: aggregate NeRF training throughput, 10 concurrent
+objects, reference batch geometry (4096 rays x 32 samples per object per
+iteration — ref nerf_model.h:172-175).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference trains each object NeRF with tiny-cuda-nn on an
+RTX 4090 (README.md:35). The repo publishes no timing tables (BASELINE.md);
+tcnn instant-ngp at 131072 network inputs/step runs ~2 ms/step on a 4090, and
+the 10 per-object CUDA streams time-slice one GPU, so the aggregate online
+throughput is ~500 object-iterations/sec. vs_baseline = value / 500.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+BASELINE_OBJ_ITERS_PER_SEC = 500.0  # RTX-4090 estimate, see module docstring
+N_OBJECTS = 10
+
+
+def main() -> None:
+    from romap_tpu.config import NerfConfig
+    from romap_tpu.data.world import build_synthetic_world
+    from romap_tpu.models import nerf
+
+    cfg = NerfConfig()
+    spec = nerf.make_field_spec(cfg)
+    _, _, _, store, objs = build_synthetic_world(
+        n_objects=N_OBJECTS, n_frames=16, res=128
+    )
+    frames = store.arrays()
+    state = nerf.init_train_state(jax.random.PRNGKey(cfg.seed), N_OBJECTS, cfg, spec)
+
+    # warmup / compile. NOTE: sync via device_get — on the remote-TPU relay
+    # block_until_ready returns before execution finishes; a host readback is
+    # the only reliable barrier.
+    state = nerf.train_objects(state, objs, frames, cfg, spec, 1)
+    jax.device_get(state.loss)
+    # one timed wave shape (separate compile for n_iters)
+    iters = 50
+    state = nerf.train_objects(state, objs, frames, cfg, spec, iters)
+    jax.device_get(state.loss)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        state = nerf.train_objects(state, objs, frames, cfg, spec, iters)
+    jax.device_get(state.loss)
+    dt = time.perf_counter() - t0
+
+    value = N_OBJECTS * iters * reps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"aggregate NeRF train obj-iters/sec ({N_OBJECTS} objects, 4096 rays x 32 samples)",
+                "value": round(value, 2),
+                "unit": "obj-iters/s",
+                "vs_baseline": round(value / BASELINE_OBJ_ITERS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

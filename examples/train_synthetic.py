@@ -22,55 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from romap_tpu.config import NerfConfig
-from romap_tpu.data.frame_store import FrameStore
-from romap_tpu.data.synthetic import Camera, make_scene, make_sequence
+from romap_tpu.data.world import build_synthetic_world
 from romap_tpu.models import nerf
-from romap_tpu.ops import hashgrid
-from romap_tpu.ops.geometry import camera_rays, pixel_dirs, ray_aabb_intersect
-
-
-def build_world(n_objects: int, n_frames: int, res: int, use_depth: bool):
-    cam = Camera(fx=res * 0.9, fy=res * 0.9, cx=res / 2, cy=res / 2, h=res, w=res)
-    objects = make_scene(n_objects)
-    frames = make_sequence(cam, objects, n_frames, radius=2.2 if n_objects == 1 else 5.5)
-
-    store = FrameStore(len(frames), cam.h, cam.w, cam.intrinsics, use_depth=use_depth)
-    for i, f in enumerate(frames):
-        store.add_frame(i, f["stamp"], f["rgb"], f["instance"], f["twc"],
-                        depth=f["depth"] if use_depth else None)
-
-    max_b = len(frames)
-    capacity = n_objects
-    objs = nerf.empty_objects(capacity, max_b)
-    aabb_min = np.zeros((capacity, 3), np.float32)
-    aabb_max = np.zeros((capacity, 3), np.float32)
-    tow = np.tile(np.eye(4, dtype=np.float32), (capacity, 1, 1))
-    iid = np.zeros(capacity, np.int32)
-    bboxes = np.zeros((capacity, max_b, 5), np.int32)
-    n_bbox = np.zeros(capacity, np.int32)
-    active = np.zeros(capacity, bool)
-    for oi, obj in enumerate(objects):
-        half = obj.aabb_half_extents() * 1.1  # ref nerf.cu:170-172 inflation
-        aabb_min[oi], aabb_max[oi] = -half, half
-        t = np.eye(4, dtype=np.float32)
-        t[:3, 3] = -obj.center  # Tow: world -> object (identity rotation)
-        tow[oi] = t
-        iid[oi] = obj.instance_id
-        nb = 0
-        for fi, f in enumerate(frames):
-            bb = f["bboxes"][obj.instance_id]
-            if bb is not None:
-                bboxes[oi, nb] = (fi, *bb)
-                nb += 1
-        n_bbox[oi] = nb
-        active[oi] = nb > 0
-    objs = nerf.ObjectsState(
-        aabb_min=jnp.asarray(aabb_min), aabb_max=jnp.asarray(aabb_max),
-        tow=jnp.asarray(tow), instance_id=jnp.asarray(iid),
-        bboxes=jnp.asarray(bboxes), n_bbox=jnp.asarray(n_bbox),
-        active=jnp.asarray(active),
-    )
-    return cam, objects, frames, store, objs
+from romap_tpu.ops.geometry import camera_rays, ray_aabb_intersect
 
 
 def render_object_view(state, objs, cam, frame, obj_idx, cfg, spec, bbox):
@@ -109,7 +63,7 @@ def main():
     cfg = NerfConfig()
     cfg = dataclasses.replace(cfg, encoding=dataclasses.replace(cfg.encoding, kind=args.encoding))
     spec = nerf.make_field_spec(cfg)
-    cam, objects, frames, store, objs = build_world(
+    cam, objects, frames, store, objs = build_synthetic_world(
         args.objects, args.frames, args.res, args.use_depth
     )
     print(f"devices: {jax.devices()}")

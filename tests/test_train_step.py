@@ -12,8 +12,7 @@ import numpy as np
 import pytest
 
 from romap_tpu.config import EncodingConfig, NerfConfig, TrainConfig
-from romap_tpu.data.frame_store import FrameStore
-from romap_tpu.data.synthetic import Camera, make_scene, make_sequence
+from romap_tpu.data.world import build_synthetic_world
 from romap_tpu.models import nerf
 
 
@@ -26,41 +25,10 @@ def tiny_cfg(**train_kw):
 
 
 def build_tiny_world(n_objects=2, res=48, n_frames=6, use_depth=False):
-    cam = Camera(fx=res * 0.9, fy=res * 0.9, cx=res / 2, cy=res / 2, h=res, w=res)
-    objects = make_scene(n_objects)
-    frames = make_sequence(cam, objects, n_frames,
-                           radius=2.2 if n_objects == 1 else 5.5)
-    store = FrameStore(n_frames, cam.h, cam.w, cam.intrinsics, use_depth=use_depth)
-    for i, f in enumerate(frames):
-        store.add_frame(i, f["stamp"], f["rgb"], f["instance"], f["twc"],
-                        depth=f["depth"] if use_depth else None)
-    capacity = n_objects + 1  # one extra INACTIVE slot
-    objs_np = dict(
-        aabb_min=np.zeros((capacity, 3), np.float32),
-        aabb_max=np.ones((capacity, 3), np.float32),
-        tow=np.tile(np.eye(4, dtype=np.float32), (capacity, 1, 1)),
-        instance_id=np.zeros(capacity, np.int32),
-        bboxes=np.zeros((capacity, n_frames, 5), np.int32),
-        n_bbox=np.zeros(capacity, np.int32),
-        active=np.zeros(capacity, bool),
+    # one extra INACTIVE slot beyond the real objects
+    return build_synthetic_world(
+        n_objects, n_frames, res, use_depth=use_depth, capacity=n_objects + 1
     )
-    for oi, obj in enumerate(objects):
-        half = obj.aabb_half_extents() * 1.1
-        objs_np["aabb_min"][oi], objs_np["aabb_max"][oi] = -half, half
-        t = np.eye(4, dtype=np.float32)
-        t[:3, 3] = -obj.center
-        objs_np["tow"][oi] = t
-        objs_np["instance_id"][oi] = obj.instance_id
-        nb = 0
-        for fi, f in enumerate(frames):
-            bb = f["bboxes"][obj.instance_id]
-            if bb is not None:
-                objs_np["bboxes"][oi, nb] = (fi, *bb)
-                nb += 1
-        objs_np["n_bbox"][oi] = nb
-        objs_np["active"][oi] = nb > 0
-    objs = nerf.ObjectsState(**{k: jnp.asarray(v) for k, v in objs_np.items()})
-    return cam, objects, frames, store, objs
 
 
 def test_training_decreases_loss_and_masks_inactive_slots():
