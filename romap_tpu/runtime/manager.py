@@ -1,0 +1,316 @@
+"""Online multi-object NeRF manager — the NerfManagerOnline equivalent.
+
+API surface preserved from the reference (ref nerf_manager.h:54-91 /
+nerf_manager.cu:134-312) so a SLAM frontend can drive it unchanged:
+
+  Init                 -> constructor
+  DatasetInit          -> dataset_init(fx, fy, cx, cy, H, W, imgs)
+  NewFrameToDataset    -> new_frame_to_dataset(img_id, stamp, rgb, instance,
+                          depth, pose)
+  UpdateDataset        -> update_dataset(cur_id, frame_num, poses)
+  CreateNeRF           -> create_nerf(cls, obj_tow, bbox_min, bbox_max) -> idx
+  UpdateNeRFBbox       -> update_nerf_bbox(idx, frame_bboxes, train_step)
+  GetFrameIdx          -> get_frame_idx(stamp)
+  WaitThreadsEnd       -> wait_threads_end()
+  RenderNeRFsTest      -> render_nerfs_test(out, idx, stamps, boxes, twcs, r)
+  DrawMesh             -> get_mesh(idx) (returns mesh data; no GL here)
+
+Concurrency model INVERTED from the reference: instead of one std::thread +
+CUDA stream pair per object (ref nerf_manager.cu:256-260), every object is a
+row of the batched TrainState and a single pump loop executes training in
+fixed quanta of `train_step_iterations`, masking slots by their pending-
+iteration budget. Reference semantics preserved:
+  * bbox inflation 1.1x (1.2x for classes 41/73)      (ref nerf.cu:162-172)
+  * an object only trains once it has > 10 bboxes     (ref nerf.cu:222)
+  * each UpdateNeRFBbox credits train_step waves of train_step_iterations
+    iterations                                        (ref nerf.cu:204-237)
+  * mesh extraction every 2 waves                     (ref nerf.cu:228-236)
+  * WaitThreadsEnd runs one final wave + mesh         (ref nerf.cu:246-251)
+
+Call pump() to execute pending work synchronously (deterministic replay /
+tests), or start()/stop() to run it on a background thread like the
+reference's training threads.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from romap_tpu.config import NerfConfig, load_network_config
+from romap_tpu.data.frame_store import FrameStore
+from romap_tpu.models import nerf
+from romap_tpu.runtime import artifacts
+
+MIN_BBOXES_TO_TRAIN = 10  # ref nerf.cu:222
+
+
+class NerfManagerOnline:
+    def __init__(
+        self,
+        network_config: str | NerfConfig | None = None,
+        use_sparse_depth: bool = False,
+        train_step_iterations: int = 500,
+        capacity: int = 16,
+        mesh_every_waves: int = 2,
+        mesh_enabled: bool = True,
+    ):
+        if isinstance(network_config, NerfConfig):
+            self.cfg = network_config
+        elif isinstance(network_config, str):
+            self.cfg = load_network_config(network_config)
+        else:
+            self.cfg = NerfConfig()
+        self.spec = nerf.make_field_spec(self.cfg)
+        self.use_depth = use_sparse_depth
+        self.iters_per_wave = train_step_iterations
+        self.capacity = capacity
+        self.mesh_every_waves = mesh_every_waves
+        self.mesh_enabled = mesh_enabled
+
+        self.store: FrameStore | None = None
+        self.state: nerf.TrainState | None = None
+
+        self._lock = threading.RLock()
+        self._n_objects = 0
+        self._classes: list[int] = []
+        self._pending_waves = np.zeros(capacity, np.int64)
+        self._wave_count = np.zeros(capacity, np.int64)
+        self._meshes: dict[int, object] = {}
+        self._objs: dict[str, np.ndarray] | None = None
+
+        self._thread: threading.Thread | None = None
+        self._finish = threading.Event()
+
+    # ------------------------------------------------------------------ data
+    def dataset_init(self, fx, fy, cx, cy, h, w, imgs: int) -> None:
+        """ref NerfManagerOnline::DatasetInit nerf_manager.cu:160-187.
+        `imgs` is the preallocated keyframe budget (caller passes nimages/3,
+        ref src/System.cc:135-138)."""
+        self.store = FrameStore(
+            int(imgs), int(h), int(w), np.array([fx, fy, cx, cy], np.float32),
+            use_depth=self.use_depth, depth_scale=1.0,
+        )
+        self._max_bboxes = int(imgs)
+        self._objs = dict(
+            aabb_min=np.zeros((self.capacity, 3), np.float32),
+            aabb_max=np.ones((self.capacity, 3), np.float32),
+            tow=np.tile(np.eye(4, dtype=np.float32), (self.capacity, 1, 1)),
+            instance_id=np.zeros(self.capacity, np.int32),
+            bboxes=np.zeros((self.capacity, self._max_bboxes, 5), np.int32),
+            n_bbox=np.zeros(self.capacity, np.int32),
+            active=np.zeros(self.capacity, bool),
+        )
+        self.state = nerf.init_train_state(
+            jax.random.PRNGKey(self.cfg.seed), self.capacity, self.cfg, self.spec
+        )
+
+    def new_frame_to_dataset(self, img_id: int, stamp: str, rgb, instance,
+                             depth=None, pose=None) -> None:
+        """ref NewFrameToDataset nerf_manager.cu:189-218 (rgb is RGB u8 here;
+        the cv-BGR conversion belongs to the caller/loader)."""
+        with self._lock:
+            self.store.add_frame(int(img_id), stamp, rgb, instance, pose, depth)
+
+    def update_dataset(self, cur_id: int, frame_num: int, poses) -> None:
+        """Pose-window rewrite (ref UpdateDataset nerf_manager.cu:220-235)."""
+        with self._lock:
+            self.store.update_poses(int(cur_id) - int(frame_num), poses)
+
+    def get_frame_idx(self, stamp: str) -> int:
+        """ref GetFrameIdx nerf_manager.cu:288-296."""
+        return self.store.stamp_to_idx.get(stamp, -1)
+
+    # --------------------------------------------------------------- objects
+    def create_nerf(self, cls: int, obj_tow, bbox_min, bbox_max) -> int:
+        """ref CreateNeRF nerf_manager.cu:237-261 + SetAttributes nerf.cu:
+        155-176 (bbox inflation)."""
+        with self._lock:
+            if self._n_objects >= self.capacity:
+                self._grow()
+            idx = self._n_objects
+            self._n_objects += 1
+            scale = 1.2 if cls in (41, 73) else 1.1
+            self._objs["aabb_min"][idx] = np.asarray(bbox_min, np.float32) * scale
+            self._objs["aabb_max"][idx] = np.asarray(bbox_max, np.float32) * scale
+            self._objs["tow"][idx] = np.asarray(obj_tow, np.float32)
+            self._objs["instance_id"][idx] = int(cls)
+            self._classes.append(int(cls))
+            self._objs["n_bbox"][idx] = 0
+            self._objs["active"][idx] = False
+            return idx
+
+    def _grow(self) -> None:
+        """Double the slot capacity (re-inits padding params; recompile on
+        next pump — the batched analog of spawning more threads)."""
+        old_cap, new_cap = self.capacity, self.capacity * 2
+        for k, v in self._objs.items():
+            pad = np.zeros((new_cap - old_cap,) + v.shape[1:], v.dtype)
+            if k == "aabb_max":
+                pad[:] = 1.0
+            if k == "tow":
+                pad[:] = np.eye(4, dtype=np.float32)
+            self._objs[k] = np.concatenate([v, pad], 0)
+        extra = nerf.init_train_state(
+            jax.random.PRNGKey(self.cfg.seed + old_cap), new_cap - old_cap,
+            self.cfg, self.spec,
+        )
+        self.state = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], 0), self.state, extra
+        )
+        self._pending_waves = np.concatenate(
+            [self._pending_waves, np.zeros(new_cap - old_cap, np.int64)]
+        )
+        self._wave_count = np.concatenate(
+            [self._wave_count, np.zeros(new_cap - old_cap, np.int64)]
+        )
+        self.capacity = new_cap
+
+    def update_nerf_bbox(self, idx: int, frame_bboxes, train_step: int = 1) -> None:
+        """Append (frame_id, x, y, h, w) rows + credit training waves
+        (ref UpdateNeRFBbox nerf_manager.cu:298-303 -> UpdateFrameBBox
+        nerf.cu:406-421)."""
+        rows = np.asarray(frame_bboxes, np.int32).reshape(-1, 5)
+        if len(rows) == 0:
+            return
+        with self._lock:
+            nb = int(self._objs["n_bbox"][idx])
+            end = min(nb + len(rows), self._max_bboxes)
+            self._objs["bboxes"][idx, nb:end] = rows[: end - nb]
+            self._objs["n_bbox"][idx] = end
+            self._pending_waves[idx] += int(train_step)
+
+    # -------------------------------------------------------------- training
+    def _objects_state(self, active_mask: np.ndarray) -> nerf.ObjectsState:
+        o = self._objs
+        return nerf.ObjectsState(
+            aabb_min=jnp.asarray(o["aabb_min"]),
+            aabb_max=jnp.asarray(o["aabb_max"]),
+            tow=jnp.asarray(o["tow"]),
+            instance_id=jnp.asarray(o["instance_id"]),
+            bboxes=jnp.asarray(o["bboxes"]),
+            n_bbox=jnp.asarray(o["n_bbox"]),
+            active=jnp.asarray(active_mask),
+        )
+
+    def _trainable(self) -> np.ndarray:
+        return (self._pending_waves > 0) & (self._objs["n_bbox"] > MIN_BBOXES_TO_TRAIN)
+
+    def pump(self, max_waves: int | None = None) -> int:
+        """Execute pending training waves; returns the number of quanta run.
+        Each quantum = iters_per_wave iterations for every slot whose wave
+        budget is positive (and bbox-gated), exactly the per-object semantics
+        of NeRF::TrainOnline batched across slots."""
+        waves_run = 0
+        while max_waves is None or waves_run < max_waves:
+            with self._lock:
+                mask = self._trainable()
+                if not mask.any():
+                    break
+                objs = self._objects_state(mask)
+                frames = self.store.arrays()
+                state = self.state
+            state = nerf.train_objects(
+                state, objs, frames, self.cfg, self.spec,
+                self.iters_per_wave, self.use_depth,
+            )
+            jax.device_get(state.loss)  # sync (relay-safe barrier)
+            with self._lock:
+                self.state = state
+                self._pending_waves[mask] -= 1
+                self._wave_count[mask] += 1
+                mesh_due = mask & (self._wave_count % self.mesh_every_waves == 0)
+            if self.mesh_enabled:
+                for oi in np.nonzero(mesh_due)[0]:
+                    self._extract_mesh(int(oi))
+            waves_run += 1
+        return waves_run
+
+    def _extract_mesh(self, oi: int) -> None:
+        params = jax.tree.map(lambda a: a[oi], self.state.ema)
+        mesh = artifacts.extract_object_mesh(
+            params, self._objs["aabb_min"][oi], self._objs["aabb_max"][oi],
+            self.cfg, self.spec,
+        )
+        with self._lock:
+            self._meshes[oi] = mesh
+
+    # ---------------------------------------------------------- thread pump
+    def start(self) -> None:
+        """Run the pump on a background thread (the reference's per-object
+        training threads collapsed into one)."""
+        if self._thread is not None:
+            return
+        self._finish.clear()
+
+        def run():
+            while not self._finish.is_set():
+                if self.pump(max_waves=1) == 0:
+                    time.sleep(0.003)  # ref nerf.cu:243 usleep(3000)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait_threads_end(self) -> None:
+        """ref WaitThreadsEnd nerf_manager.cu:263-278: drain pending work,
+        then one final wave + mesh per active object (ref nerf.cu:246-251)."""
+        self._finish.set()
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        self.pump()  # drain
+        with self._lock:
+            mask = self._objs["n_bbox"] > MIN_BBOXES_TO_TRAIN
+        if mask.any():
+            objs = self._objects_state(mask)
+            self.state = nerf.train_objects(
+                self.state, objs, self.store.arrays(), self.cfg, self.spec,
+                self.iters_per_wave, self.use_depth,
+            )
+            jax.device_get(self.state.loss)
+            if self.mesh_enabled:
+                for oi in np.nonzero(mask)[0]:
+                    self._extract_mesh(int(oi))
+        print("All NeRF slots completed ...")
+
+    # ------------------------------------------------------------ inference
+    def get_mesh(self, idx: int):
+        """Viewer-side mesh fetch (ref DrawMesh -> DrawCPUMesh)."""
+        with self._lock:
+            return self._meshes.get(idx)
+
+    def losses(self) -> np.ndarray:
+        return np.asarray(jax.device_get(self.state.loss))[: self._n_objects]
+
+    def render_nerfs_test(self, out_path: str, idx: int, stamps, boxes, twcs,
+                          radius: float, video: bool = True) -> None:
+        """ref RenderNeRFsTest nerf_manager.cu:280-285 -> RenderTestImg."""
+        params = jax.tree.map(lambda a: a[idx], self.state.ema)
+        test_views = [
+            dict(stamp=s, twc=np.asarray(t, np.float32),
+                 box=tuple(int(v) for v in b))
+            for s, b, t in zip(stamps, boxes, twcs)
+        ]
+        # training manifest from the slot's bbox table
+        nb = int(self._objs["n_bbox"][idx])
+        idx_to_stamp = {v: k for k, v in self.store.stamp_to_idx.items()}
+        train_views = []
+        for row in self._objs["bboxes"][idx, :nb]:
+            fid = int(row[0])
+            train_views.append(
+                dict(stamp=idx_to_stamp.get(fid, str(fid)),
+                     twc=self.store._poses[fid],
+                     box=(int(row[1]), int(row[2]), int(row[3]), int(row[4])))
+            )
+        artifacts.render_test_artifacts(
+            out_path, idx, params, self.store._intrinsics,
+            self._objs["tow"][idx], self._objs["aabb_min"][idx],
+            self._objs["aabb_max"][idx], (self.store.h, self.store.w),
+            test_views, train_views, self._classes[idx], radius,
+            self.cfg, self.spec, video=video,
+        )
