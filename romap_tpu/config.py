@@ -43,6 +43,9 @@ class EncodingConfig:
     mx_levels: int = 8
     mx_max_resolution: int = 1024
     mx_features: int = 64
+    # "auto": fused Pallas kernel on TPU, chunked XLA elsewhere;
+    # "pallas" / "xla" force an implementation.
+    mx_impl: str = "auto"
 
     @property
     def per_level_scale(self) -> float:

@@ -81,7 +81,15 @@ def field_apply(params, points: jax.Array, cfg: NerfConfig, spec) -> jax.Array:
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
     table = params["table"].astype(dtype)
     if isinstance(spec, mxgrid.MXGridSpec):
-        feats = mxgrid.encode(table, points, spec)
+        impl = cfg.encoding.mx_impl
+        if impl == "pallas" or (
+            impl == "auto" and jax.default_backend() not in ("cpu", "gpu")
+        ):
+            from romap_tpu.ops import mxgrid_pallas
+
+            feats = mxgrid_pallas.encode(table, points, spec)
+        else:
+            feats = mxgrid.encode(table, points, spec)
     else:
         feats = hashgrid.encode(table, points, spec)
     return apply_mlp(params["mlp"], feats.astype(dtype), cfg.network)
