@@ -1,0 +1,103 @@
+// Core value types of the SLAM frontend: small fixed-size linear algebra on
+// cv::Matx (no Eigen in this image), rigid transforms, detections, cuboids.
+//
+// This is a ground-up C++17 rebuild of the behaviors of the reference's
+// ORB-SLAM2 + RO-MAP object layer (reference: /root/reference/src,
+// include/) — reimplemented against OpenCV types, not a translation.
+#pragma once
+
+#include <opencv2/core.hpp>
+
+#include <cmath>
+#include <cstdint>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace romap {
+
+using Vec3 = cv::Vec3f;
+using Mat3 = cv::Matx33f;
+using Mat4 = cv::Matx44f;
+
+// Rigid transform (rotation + translation), composable.
+struct SE3 {
+  Mat3 R = Mat3::eye();
+  Vec3 t{0, 0, 0};
+
+  Vec3 operator*(const Vec3& p) const { return R * p + t; }
+  SE3 operator*(const SE3& o) const { return {R * o.R, R * o.t + t}; }
+  SE3 inverse() const {
+    Mat3 Rt = R.t();
+    return {Rt, -(Rt * t)};
+  }
+  Mat4 matrix() const {
+    Mat4 m = Mat4::eye();
+    for (int r = 0; r < 3; ++r) {
+      for (int c = 0; c < 3; ++c) m(r, c) = R(r, c);
+      m(r, 3) = t[r];
+    }
+    return m;
+  }
+  static SE3 FromMatrix(const Mat4& m) {
+    SE3 out;
+    for (int r = 0; r < 3; ++r) {
+      for (int c = 0; c < 3; ++c) out.R(r, c) = m(r, c);
+      out.t[r] = m(r, 3);
+    }
+    return out;
+  }
+};
+
+// Rotation about +z by yaw (the object layer estimates a 1-DoF rotation,
+// ref Converter::eulerAnglesToMatrix usage in src/ObjectMap.cc:380).
+inline Mat3 YawRotation(float yaw) {
+  float c = std::cos(yaw), s = std::sin(yaw);
+  return Mat3(c, -s, 0, s, c, 0, 0, 0, 1);
+}
+
+// Camera intrinsics + image bounds (subset of the reference Frame members
+// used by the object layer).
+struct CameraModel {
+  float fx = 0, fy = 0, cx = 0, cy = 0;
+  float min_x = 0, min_y = 0, max_x = 0, max_y = 0;
+
+  cv::Point2f Project(const Vec3& p_cam) const {
+    float inv_z = 1.0f / p_cam[2];
+    return {fx * p_cam[0] * inv_z + cx, fy * p_cam[1] * inv_z + cy};
+  }
+};
+
+// 2D detection box with class/score/edge flags
+// (ref include/ObjectFrame.h Bbox : cv::Rect).
+struct Bbox {
+  cv::Rect_<float> rect;
+  int cls = -1;
+  float confidence = 0.0f;
+  bool edge = false;            // touches the image border
+  bool edge_and_small = false;  // near border and small -> unreliable
+
+  float IoU(const cv::Rect_<float>& other) const {
+    float inter = (rect & other).area();
+    float uni = rect.area() + other.area() - inter;
+    return uni > 0 ? inter / uni : 0.0f;
+  }
+};
+
+// Line segment set [n, 4] = (x1, y1, x2, y2), each left-to-right.
+using Lines = std::vector<cv::Vec4f>;
+
+// Oriented 3D bounding box (ref include/ObjectMap.h Cuboid).
+struct Cuboid {
+  SE3 t_obj_w;  // world -> object
+  float a1 = 0, a2 = 0, a3 = 0;  // half extents
+  float max_dist = 0;            // diagonal half length
+
+  // world-frame corner k (k in [0,8))
+  Vec3 Corner(int k) const {
+    Vec3 local((k & 1) ? a1 : -a1, (k & 2) ? a2 : -a2, (k & 4) ? a3 : -a3);
+    return t_obj_w.inverse() * local;
+  }
+};
+
+}  // namespace romap

@@ -1,0 +1,483 @@
+#include "romap/object_map.h"
+
+#include <algorithm>
+#include <cmath>
+#include <set>
+
+#include "romap/eif.h"
+
+namespace romap {
+
+long ObjectMap::next_id_ = 0;
+
+ObjectMap::ObjectMap(int cls_in, long frame_id, const ObjectConfig& cfg)
+    : cls(cls_in), created_frame_id(frame_id), latest_obs_frame_id(frame_id),
+      cfg_(cfg) {
+  id = next_id_++;
+}
+
+void ObjectMap::SetBad(const std::string& /*reason*/) {
+  for (MapPoint* p : points) p->EraseObject(this);
+  bad_ = true;
+}
+
+void ObjectMap::AddNewPoints(const std::vector<MapPoint*>& pts, long frame_id) {
+  std::set<MapPoint*> have(points.begin(), points.end());
+  for (MapPoint* p : pts) {
+    if (have.count(p)) continue;
+    p->AddObject(this, frame_id);
+    points.push_back(p);
+    have.insert(p);
+  }
+}
+
+void ObjectMap::ComputeMeanStd() {
+  if (bad_ || points.empty()) return;
+  Vec3 sum{0, 0, 0};
+  for (const MapPoint* p : points) sum += p->pos;
+  points_mean = sum * (1.0f / points.size());
+}
+
+void ObjectMap::EIFFilterOutliers() {
+  // too little evidence to call anything an outlier (ref :106-107)
+  if (keyframe_history_bbox.size() < 5 || points.size() < 20) return;
+
+  std::vector<std::array<float, 3>> data;
+  data.reserve(points.size());
+  for (const MapPoint* p : points)
+    data.push_back({p->pos[0], p->pos[1], p->pos[2]});
+
+  double th = cfg_.eif_threshold;
+  if (cls == 73 || cls == 46 || cls == 41) th += 0.02;  // low-texture classes
+  double th_serious = th + 0.1;
+
+  uint32_t sample = points.size() > 100
+                        ? static_cast<uint32_t>(points.size() / 2)
+                        : static_cast<uint32_t>(points.size() * 2 / 3);
+  ExtendedIsolationForest<3> forest;
+  forest.Build(data, /*n_trees=*/40, /*seed=*/12345, sample);
+  std::vector<double> scores;
+  forest.AnomalyScores(data, &scores);
+
+  std::vector<MapPoint*> kept;
+  kept.reserve(points.size());
+  for (size_t i = 0; i < points.size(); ++i) {
+    MapPoint* p = points[i];
+    bool drop;
+    if (cfg_.check_mps_obs) {
+      // long-associated points are trusted unless seriously anomalous
+      long assoc_frame = p->objects.count(this) ? p->objects[this] : 0;
+      bool young = latest_obs_frame_id - assoc_frame < cfg_.eif_obs_numbers;
+      drop = scores[i] > th_serious || (scores[i] > th && young);
+    } else {
+      drop = scores[i] > th;
+    }
+    if (drop)
+      p->EraseObject(this);
+    else
+      kept.push_back(p);
+  }
+  points.swap(kept);
+}
+
+void ObjectMap::FilterOutliersReprojection(const FrameContext& frame) {
+  bool reproject = latest_obs_frame_id == frame.id;
+  const auto& cam = frame.cam;
+  // bbox at the image edge or tiny -> reprojection unreliable (ref :198-207)
+  if (last_bbox.rect.x < cam.min_x + 30 ||
+      last_bbox.rect.x + last_bbox.rect.width > cam.max_x - 30 ||
+      last_bbox.rect.y < cam.min_y + 30 ||
+      last_bbox.rect.y + last_bbox.rect.height > cam.max_y - 30)
+    reproject = false;
+  if (last_bbox.rect.area() <
+      (cam.max_x - cam.min_x) * (cam.max_y - cam.min_y) * 0.05f)
+    reproject = false;
+
+  auto it = points.begin();
+  while (it != points.end()) {
+    MapPoint* p = *it;
+    bool drop = p->bad;
+    if (!drop && reproject) {
+      cv::Point2f uv = cam.Project(frame.tcw * p->pos);
+      drop = !last_bbox.rect.contains(uv);
+    }
+    if (drop) {
+      p->EraseObject(this);
+      *it = points.back();
+      points.pop_back();
+    } else {
+      ++it;
+    }
+  }
+}
+
+void ObjectMap::ComputeHistoryStats() {
+  if (bad_ || history_pos.empty()) return;
+  Vec3 sum{0, 0, 0};
+  for (const Vec3& p : history_pos) sum += p;
+  history_pos_mean = sum * (1.0f / history_pos.size());
+  Vec3 var{0, 0, 0};
+  for (const Vec3& p : history_pos) {
+    Vec3 d = history_pos_mean - p;
+    var += Vec3(d[0] * d[0], d[1] * d[1], d[2] * d[2]);
+  }
+  for (int i = 0; i < 3; ++i)
+    history_pos_std[i] = std::sqrt(var[i] / history_pos.size());
+}
+
+namespace {
+// angle of the projected segment p0 -> p1, measured left-to-right
+inline float SegmentAngle(const cv::Point2f& p0, const cv::Point2f& p1) {
+  if (p0.x < p1.x) return std::atan2(p1.y - p0.y, p1.x - p0.x);
+  return std::atan2(p0.y - p1.y, p0.x - p1.x);
+}
+inline float AngErrDeg(float a, float b) {
+  float d = std::abs((a - b) * 180.0f / static_cast<float>(M_PI));
+  return std::min(d, 180.0f - d);
+}
+}  // namespace
+
+float ObjectMap::YawError(const Mat3& sample_r, const Vec3& t_wobj,
+                          const FrameContext& frame,
+                          std::vector<std::vector<int>>* assoc_lines) const {
+  // project object center + the three axis endpoints (ref :506-535)
+  cv::Point2f pts2d[4];
+  const Vec3 axes[4] = {{0, 0, 0},
+                        {axis_length, 0, 0},
+                        {0, axis_length, 0},
+                        {0, 0, axis_length}};
+  for (int k = 0; k < 4; ++k)
+    pts2d[k] = frame.cam.Project(frame.tcw * (sample_r * axes[k] + t_wobj));
+
+  float axis_angle[3];
+  for (int a = 0; a < 3; ++a)
+    axis_angle[a] = SegmentAngle(pts2d[0], pts2d[a + 1]);
+
+  const float th = 5.0f;  // degrees
+  float error = 0;
+  int num = 0;
+  std::vector<int> ass[3];
+  for (size_t i = 0; i < latest_lines.size(); ++i) {
+    const cv::Vec4f& l = latest_lines[i];
+    float ang = std::atan2(l[3] - l[1], l[2] - l[0]);
+    float e[3];
+    for (int a = 0; a < 3; ++a) e[a] = AngErrDeg(ang, axis_angle[a]);
+    int best = static_cast<int>(std::min_element(e, e + 3) - e);
+    if (e[best] < th) {
+      error += e[best];
+      ++num;
+      ass[best].push_back(static_cast<int>(i));
+    }
+  }
+  if (num == 0) return 0.0f;
+  assoc_lines->assign({ass[0], ass[1], ass[2]});
+  // more associated lines + smaller mean error = better (ref :605-607)
+  return (static_cast<float>(num) / latest_lines.size()) * (5.0f - error / num);
+}
+
+float RefineYaw(const ObjectMap& obj,
+                const std::vector<std::vector<int>>& assoc_lines,
+                float init_yaw, const Vec3& t_wobj, const FrameContext& frame) {
+  // residuals: angular gap between each associated line and its axis
+  auto residual_sum = [&](float yaw, float* sum_sq) -> float {
+    Mat3 r = YawRotation(yaw);
+    cv::Point2f pts2d[4];
+    const Vec3 axes[4] = {{0, 0, 0},
+                          {obj.axis_length, 0, 0},
+                          {0, obj.axis_length, 0},
+                          {0, 0, obj.axis_length}};
+    for (int k = 0; k < 4; ++k)
+      pts2d[k] = frame.cam.Project(frame.tcw * (r * axes[k] + t_wobj));
+    float total = 0, total_sq = 0;
+    for (int a = 0; a < 3; ++a) {
+      float axis_ang = SegmentAngle(pts2d[0], pts2d[a + 1]);
+      for (int li : assoc_lines[a]) {
+        const cv::Vec4f& l = obj.latest_lines[li];
+        float ang = std::atan2(l[3] - l[1], l[2] - l[0]);
+        float e = AngErrDeg(ang, axis_ang) * static_cast<float>(M_PI) / 180.0f;
+        total += e;
+        total_sq += e * e;
+      }
+    }
+    if (sum_sq) *sum_sq = total_sq;
+    return total;
+  };
+
+  // 1-D minimization of the squared angular error over the +/-5deg
+  // acceptance window (the reference runs 5 LM iterations of a g2o 1-DoF
+  // vertex and accepts the result only within 5deg of the sample,
+  // ref OptimizeObject.cc:96, ObjectMap.cc:374-376). Ternary search is
+  // exact for this unimodal 1-D objective and needs no tuning.
+  const float half_window = 0.087266f;  // 5 degrees
+  float lo = init_yaw - half_window, hi = init_yaw + half_window;
+  for (int it = 0; it < 24; ++it) {
+    float m1 = lo + (hi - lo) / 3.0f, m2 = hi - (hi - lo) / 3.0f;
+    float f1, f2;
+    residual_sum(m1, &f1);
+    residual_sum(m2, &f2);
+    if (f1 < f2)
+      hi = m2;
+    else
+      lo = m1;
+  }
+  return (lo + hi) / 2.0f;
+}
+
+void ObjectMap::EstimatePose(const FrameContext& frame) {
+  if (bad_ || points.empty()) return;
+
+  // translation = midpoint of the axis-aligned point extents (ref :286-315)
+  float lo[3] = {1e9f, 1e9f, 1e9f}, hi[3] = {-1e9f, -1e9f, -1e9f};
+  for (const MapPoint* p : points) {
+    if (p->bad) continue;
+    for (int a = 0; a < 3; ++a) {
+      lo[a] = std::min(lo[a], p->pos[a]);
+      hi[a] = std::max(hi[a], p->pos[a]);
+    }
+  }
+  Vec3 t_wobj((lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2, (lo[2] + hi[2]) / 2);
+  axis_length = 0;
+  for (int a = 0; a < 3; ++a)
+    axis_length = std::max(axis_length, (hi[a] - lo[a]) / 2);
+
+  // yaw hypotheses scored against image lines (ref :328-396)
+  if (latest_lines.size() > 2 && !last_bbox.edge_and_small) {
+    float best_yaw = 0, best_score = 0;
+    int best_idx = -1;
+    std::vector<std::vector<int>> best_ass;
+    for (int i = 0; i < 18; ++i) {
+      float yaw = (i * 5.0f - 42.5f) / 180.0f * static_cast<float>(M_PI);
+      std::vector<std::vector<int>> ass;
+      float score = YawError(YawRotation(yaw), t_wobj, frame, &ass);
+      if (score > best_score && !ass.empty() &&
+          (!ass[0].empty() || !ass[1].empty())) {
+        best_score = score;
+        best_yaw = yaw;
+        best_idx = i;
+        best_ass = ass;
+      }
+    }
+    if (best_score != 0) {
+      float refined = RefineYaw(*this, best_ass, best_yaw, t_wobj, frame);
+      if (std::abs(best_yaw - refined) < 0.087266f)  // 5 degrees
+        best_yaw = refined;
+      auto it = yaw_scores.find(best_idx);
+      if (it != yaw_scores.end()) {
+        cv::Vec3d& v = it->second;
+        v[0] += 1.0;
+        v[1] = v[1] * (1 - 1 / v[0]) + best_score / v[0];
+        v[2] = v[2] * (1 - 1 / v[0]) + best_yaw / v[0];
+      } else {
+        yaw_scores[best_idx] = cv::Vec3d(1.0, best_score, best_yaw);
+      }
+    }
+  } else if (n_obs > 50 && points.size() > 50) {
+    // PCA fallback on the XY covariance (ref :398-458)
+    double mx = 0, my = 0;
+    for (const MapPoint* p : points) {
+      mx += p->pos[0];
+      my += p->pos[1];
+    }
+    mx /= points.size();
+    my /= points.size();
+    double cxx = 0, cxy = 0, cyy = 0;
+    for (const MapPoint* p : points) {
+      double dx = p->pos[0] - mx, dy = p->pos[1] - my;
+      cxx += dx * dx;
+      cxy += dx * dy;
+      cyy += dy * dy;
+    }
+    cxx /= points.size();
+    cxy /= points.size();
+    cyy /= points.size();
+    double ratio = std::max(cxx, cyy) / std::max(std::min(cxx, cyy), 1e-12);
+    if (ratio > 1.21) {
+      // principal eigenvector of [[cxx, cxy], [cxy, cyy]]
+      double tr = cxx + cyy, det = cxx * cyy - cxy * cxy;
+      double l1 = tr / 2 + std::sqrt(std::max(tr * tr / 4 - det, 0.0));
+      double vx = (std::abs(cxy) > 1e-12) ? cxy : 1.0;
+      double vy = (std::abs(cxy) > 1e-12) ? (l1 - cxx) : 0.0;
+      double yaw_deg = std::atan2(vy, vx) * 180.0 / M_PI;
+      // fold into [-45, 45] (ref :425-433)
+      if (yaw_deg > 45.0 && yaw_deg < 135.0) yaw_deg -= 90.0;
+      else if (yaw_deg >= 135.0) yaw_deg -= 180.0;
+      else if (yaw_deg <= -135.0) yaw_deg += 180.0;
+      else if (yaw_deg < -45.0 && yaw_deg > -135.0) yaw_deg += 90.0;
+      int idx = static_cast<int>(std::abs(yaw_deg + 42.5) / 5.0);
+      double yaw = yaw_deg / 180.0 * M_PI;
+      double score = std::min(double(points.size()) / n_obs, 1.0);
+      auto it = yaw_scores.find(idx);
+      if (it != yaw_scores.end()) {
+        cv::Vec3d& v = it->second;
+        v[0] += 1.0;
+        v[1] = v[1] * (1 - 1 / v[0]) + score / v[0];
+        v[2] = v[2] * (1 - 1 / v[0]) + yaw / v[0];
+      } else {
+        yaw_scores[idx] = cv::Vec3d(1.0, score, yaw);
+      }
+    }
+  }
+
+  // pick the winning bucket (ref :462-491)
+  float res_yaw = 0;
+  if (!yaw_scores.empty()) {
+    std::vector<cv::Vec3d> items;
+    for (const auto& kv : yaw_scores) items.push_back(kv.second);
+    if (items.size() > 1) {
+      std::sort(items.begin(), items.end(),
+                [](const cv::Vec3d& a, const cv::Vec3d& b) { return a[1] > b[1]; });
+      if (items[0][0] > n_obs / 4.0) {
+        res_yaw = static_cast<float>(items[0][2]);
+      } else if (items[0][0] > n_obs / 6.0 && items[0][0] > items[1][0]) {
+        res_yaw = static_cast<float>(items[0][2]);
+      } else {
+        std::sort(items.begin(), items.end(),
+                  [](const cv::Vec3d& a, const cv::Vec3d& b) { return a[0] > b[0]; });
+        res_yaw = static_cast<float>(items[0][2]);
+      }
+    } else {
+      res_yaw = static_cast<float>(items[0][2]);
+    }
+  }
+
+  SE3 t_w_obj{YawRotation(res_yaw), t_wobj};
+  t_obj_w = t_w_obj.inverse();
+}
+
+void ObjectMap::EstimateShape() {
+  if (bad_ || points.empty()) return;
+  const Mat3& r = t_obj_w.R;
+  float lo[3] = {1e9f, 1e9f, 1e9f}, hi[3] = {-1e9f, -1e9f, -1e9f};
+  for (const MapPoint* p : points) {
+    if (p->bad) continue;
+    Vec3 q = r * p->pos;
+    for (int a = 0; a < 3; ++a) {
+      lo[a] = std::min(lo[a], q[a]);
+      hi[a] = std::max(hi[a], q[a]);
+    }
+  }
+  if (first_init) {
+    shape.t_obj_w = t_obj_w;
+    first_init = false;
+  }
+  if (have_nerf) return;  // frozen once a NeRF owns the box (ref :661-662)
+
+  Vec3 t_shape(-(lo[0] + hi[0]) / 2, -(lo[1] + hi[1]) / 2, -(lo[2] + hi[2]) / 2);
+  shape.t_obj_w = SE3{r, t_shape};
+  shape.a1 = std::abs(hi[0] - lo[0]) / 2;
+  shape.a2 = std::abs(hi[1] - lo[1]) / 2;
+  shape.a3 = std::abs(hi[2] - lo[2]) / 2;
+  shape.max_dist = std::sqrt(shape.a1 * shape.a1 + shape.a2 * shape.a2 +
+                             shape.a3 * shape.a3);
+}
+
+bool ObjectMap::WhetherAssociation(const ObjectFrame& obj,
+                                   const FrameContext& frame) const {
+  float min_u = 1e9f, min_v = 1e9f, max_u = -1e9f, max_v = -1e9f;
+  float mmin_u = 1e9f, mmin_v = 1e9f, mmax_u = -1e9f, mmax_v = -1e9f;
+  auto add = [&](const MapPoint* p, bool mine) {
+    if (p->bad) return;
+    cv::Point2f uv = frame.cam.Project(frame.tcw * p->pos);
+    if (mine) {
+      min_u = std::min(min_u, uv.x);
+      max_u = std::max(max_u, uv.x);
+      min_v = std::min(min_v, uv.y);
+      max_v = std::max(max_v, uv.y);
+    }
+    mmin_u = std::min(mmin_u, uv.x);
+    mmax_u = std::max(mmax_u, uv.x);
+    mmin_v = std::min(mmin_v, uv.y);
+    mmax_v = std::max(mmax_v, uv.y);
+  };
+  for (const MapPoint* p : points) add(p, true);
+  for (const MapPoint* p : obj.points) add(p, false);
+  cv::Rect_<float> mine(min_u, min_v, max_u - min_u, max_v - min_v);
+  cv::Rect_<float> mixed(mmin_u, mmin_v, mmax_u - mmin_u, mmax_v - mmin_v);
+  float inter = (mine & mixed).area();
+  float iou = inter / (mine.area() + mixed.area() - inter);
+  return iou >= 0.4f;
+}
+
+void ObjectMap::ProjectPointsBbox(const FrameContext& frame) {
+  if (bad_ || points.empty()) return;
+  float min_u = 1e9f, min_v = 1e9f, max_u = -1e9f, max_v = -1e9f;
+  for (const MapPoint* p : points) {
+    cv::Point2f uv = frame.cam.Project(frame.tcw * p->pos);
+    min_u = std::min(min_u, uv.x);
+    max_u = std::max(max_u, uv.x);
+    min_v = std::min(min_v, uv.y);
+    max_v = std::max(max_v, uv.y);
+  }
+  min_u = std::max(frame.cam.min_x, min_u);
+  min_v = std::max(frame.cam.min_y, min_v);
+  max_u = std::min(frame.cam.max_x, max_u);
+  max_v = std::min(frame.cam.max_y, max_v);
+  projected_rect = {min_u, min_v, max_u - min_u, max_v - min_v};
+}
+
+void ObjectMap::Merge(ObjectMap* other, double cur_keyframe_stamp) {
+  if (other->IsBad()) return;
+  if (other->created_frame_id < created_frame_id)
+    created_frame_id = other->created_frame_id;
+  if (other->latest_obs_frame_id > latest_obs_frame_id) {
+    latest_obs_frame_id = other->latest_obs_frame_id;
+    last_bbox = other->last_bbox;
+    last_last_bbox = other->last_bbox;
+    latest_lines = other->latest_lines;
+  }
+  n_obs += other->n_obs;
+
+  // adopt the other's points, distance-gated by our cuboid (ref :826-873)
+  bool check = points.size() > 10;
+  SE3 gate_t;
+  float gx = 0, gy = 0, gz = 0;
+  if (check) {
+    if (first_init) {
+      gate_t = t_obj_w;
+      gx = gy = gz = axis_length;
+    } else {
+      gate_t = shape.t_obj_w;
+      gx = shape.a1;
+      gy = shape.a2;
+      gz = shape.a3;
+    }
+  }
+  std::vector<MapPoint*> adopted;
+  for (MapPoint* p : other->points) {
+    if (p->bad) continue;
+    if (check) {
+      Vec3 q = gate_t * p->pos;
+      float m = cfg_.merge_mps_dist_multiple;
+      if (std::abs(q[0]) > m * gx || std::abs(q[1]) > m * gy ||
+          std::abs(q[2]) > m * gz)
+        continue;
+    }
+    adopted.push_back(p);
+  }
+  AddNewPoints(adopted, latest_obs_frame_id);
+  EIFFilterOutliers();
+
+  for (const Vec3& p : other->history_pos) history_pos.push_back(p);
+  for (const auto& kv : other->appear_same_times)
+    appear_same_times[kv.first] += kv.second;
+
+  for (const auto& kv : other->history_bbox) {
+    double stamp = kv.first;
+    if (history_bbox.count(stamp)) {
+      history_bbox[stamp] = kv.second;
+      history_twc[stamp] = other->history_twc[stamp];
+      if (cur_keyframe_stamp == stamp) {
+        keyframe_history_bbox[stamp] = kv.second;
+        keyframe_bbox_pending[stamp] = kv.second;
+      }
+    }
+  }
+}
+
+void ObjectMap::InsertHistoryBboxAndTwc(const FrameContext& frame,
+                                        const Bbox& bbox) {
+  history_bbox[frame.timestamp] = bbox;
+  history_twc[frame.timestamp] = frame.tcw.inverse().matrix();
+}
+
+}  // namespace romap

@@ -1,0 +1,251 @@
+// Unit tests of the object-layer algorithms on synthetic data:
+// EIF outlier detection, box-plot depth filter, line merging, cuboid pose
+// (yaw from lines + PCA fallback), shape, association, merging.
+
+#include <cmath>
+#include <cstdio>
+#include <random>
+
+#include "romap/eif.h"
+#include "romap/object_frame.h"
+#include "romap/object_map.h"
+#include "romap/t_table.h"
+#include "romap/types.h"
+
+#define CHECK(cond)                                                     \
+  do {                                                                  \
+    if (!(cond)) {                                                      \
+      std::fprintf(stderr, "FAIL %s:%d: %s\n", __FILE__, __LINE__, #cond); \
+      return 1;                                                         \
+    }                                                                   \
+  } while (0)
+
+using namespace romap;
+
+namespace {
+
+std::mt19937 g_rng(42);
+
+std::vector<MapPoint> MakeCluster(int n, Vec3 center, float spread,
+                                  int n_outliers = 0, float outlier_dist = 3.f) {
+  std::normal_distribution<float> d(0.0f, spread);
+  std::vector<MapPoint> pts;
+  for (int i = 0; i < n; ++i)
+    pts.push_back({center + Vec3(d(g_rng), d(g_rng), d(g_rng)), false, {}});
+  for (int i = 0; i < n_outliers; ++i)
+    pts.push_back({center + Vec3(outlier_dist + d(g_rng), d(g_rng), d(g_rng)),
+                   false, {}});
+  return pts;
+}
+
+FrameContext MakeFrame(Vec3 cam_pos, long id = 0) {
+  FrameContext f;
+  f.id = id;
+  f.timestamp = id * 0.1;
+  // camera at cam_pos looking along +x toward the origin region
+  // build Twc with z toward origin:
+  Vec3 z = -cam_pos;
+  float zn = std::sqrt(z.dot(z));
+  z *= 1.0f / zn;
+  Vec3 up(0, 0, 1);
+  Vec3 x = z.cross(up);
+  x *= 1.0f / std::sqrt(x.dot(x));
+  Vec3 y = z.cross(x);
+  Mat3 rwc(x[0], y[0], z[0], x[1], y[1], z[1], x[2], y[2], z[2]);
+  SE3 twc{rwc, cam_pos};
+  f.tcw = twc.inverse();
+  f.cam = {320, 320, 320, 240, 0, 0, 640, 480};
+  return f;
+}
+
+int TestEIF() {
+  auto pts = MakeCluster(120, {0, 0, 0}, 0.2f, 8, 4.0f);
+  std::vector<std::array<float, 3>> data;
+  for (auto& p : pts) data.push_back({p.pos[0], p.pos[1], p.pos[2]});
+  ExtendedIsolationForest<3> forest;
+  forest.Build(data, 40, 12345, 64);
+  std::vector<double> scores;
+  forest.AnomalyScores(data, &scores);
+  double mean_in = 0, mean_out = 0;
+  for (int i = 0; i < 120; ++i) mean_in += scores[i];
+  for (int i = 120; i < 128; ++i) mean_out += scores[i];
+  mean_in /= 120;
+  mean_out /= 8;
+  CHECK(mean_out > mean_in + 0.1);
+  CHECK(mean_out > 0.6);
+  CHECK(mean_in < 0.6);
+  return 0;
+}
+
+int TestObjectMapEIFFilter() {
+  ObjectConfig cfg;
+  cfg.eif_threshold = 0.6f;
+  ObjectMap obj(1, 0, cfg);
+  auto pts = MakeCluster(120, {0, 0, 0}, 0.2f, 6, 5.0f);
+  std::vector<MapPoint*> ptrs;
+  for (auto& p : pts) ptrs.push_back(&p);
+  obj.AddNewPoints(ptrs, 0);
+  for (int i = 0; i < 6; ++i) obj.keyframe_history_bbox[i * 0.1] = Bbox{};
+  size_t before = obj.points.size();
+  obj.EIFFilterOutliers();
+  CHECK(obj.points.size() < before);
+  // most inliers survive, most outliers die
+  int out_kept = 0;
+  for (MapPoint* p : obj.points)
+    if (p->pos[0] > 2.5f) ++out_kept;
+  CHECK(out_kept <= 2);
+  CHECK(obj.points.size() > 100);
+  // dropped points lost their back-reference
+  int refs = 0;
+  for (auto& p : pts) refs += p.objects.count(&obj);
+  CHECK(refs == static_cast<int>(obj.points.size()));
+  return 0;
+}
+
+int TestBoxPlotFilter() {
+  ObjectFrame of;
+  auto pts = MakeCluster(60, {0, 0, 4}, 0.1f);
+  // far-depth contaminants ("background through the bbox")
+  auto far_pts = MakeCluster(5, {0, 0, 12}, 0.1f);
+  for (auto& p : pts) of.points.push_back(&p);
+  for (auto& p : far_pts) of.points.push_back(&p);
+  SE3 identity;  // camera at origin looking +z
+  of.FilterPointsByBoxPlot(identity);
+  CHECK(of.points.size() == 60);
+  return 0;
+}
+
+int TestMergeLines() {
+  Lines in = {
+      {0, 0, 40, 1},     // long-ish, nearly horizontal
+      {42, 1.5, 90, 2},  // continuation -> should merge with the first
+      {10, 50, 12, 90},  // near-vertical long line (kept)
+      {5, 5, 12, 7},     // short noise (dropped)
+  };
+  Lines out = MergeLines(in);
+  CHECK(out.size() == 2);
+  bool found_merged = false;
+  for (auto& l : out)
+    if (l[0] <= 0.5f && l[2] >= 89.5f) found_merged = true;
+  CHECK(found_merged);
+  return 0;
+}
+
+int TestPoseFromLinesAndShape() {
+  // a box-shaped cloud rotated by 20 degrees about z
+  float yaw_true = 20.0f * static_cast<float>(M_PI) / 180.0f;
+  Mat3 r = YawRotation(yaw_true);
+  std::vector<MapPoint> pts;
+  std::uniform_real_distribution<float> ux(-0.6f, 0.6f), uy(-0.35f, 0.35f),
+      uz(-0.25f, 0.25f);
+  for (int i = 0; i < 300; ++i) {
+    Vec3 local(ux(g_rng), uy(g_rng), uz(g_rng));
+    pts.push_back({r * local + Vec3(0, 0, 0), false, {}});
+  }
+  ObjectConfig cfg;
+  ObjectMap obj(1, 5, cfg);
+  std::vector<MapPoint*> ptrs;
+  for (auto& p : pts) ptrs.push_back(&p);
+  obj.AddNewPoints(ptrs, 5);
+  obj.n_obs = 10;
+
+  FrameContext frame = MakeFrame({-2.5f, 0.5f, 1.2f}, 5);
+  obj.latest_obs_frame_id = 5;
+  obj.last_bbox.rect = {200, 150, 240, 180};
+
+  // synthesize image lines = projections of the true object x/y axes
+  auto project_axis = [&](Vec3 a, Vec3 b) {
+    cv::Point2f p0 = frame.cam.Project(frame.tcw * a);
+    cv::Point2f p1 = frame.cam.Project(frame.tcw * b);
+    if (p0.x > p1.x) std::swap(p0, p1);
+    return cv::Vec4f(p0.x, p0.y, p1.x, p1.y);
+  };
+  Vec3 ex = r * Vec3(0.6f, 0, 0), ey = r * Vec3(0, 0.35f, 0);
+  obj.latest_lines = {
+      project_axis(-ex - ey, ex - ey), project_axis(-ex + ey, ex + ey),
+      project_axis(-ex - ey, -ex + ey), project_axis(ex - ey, ex + ey),
+  };
+
+  for (int rep = 0; rep < 3; ++rep) obj.EstimatePose(frame);
+  obj.EstimateShape();
+
+  // recovered rotation maps the cloud into an axis-aligned box of roughly
+  // the true half extents
+  CHECK(std::abs(obj.shape.a1 - 0.6f) < 0.12f);
+  CHECK(std::abs(obj.shape.a2 - 0.35f) < 0.12f);
+  CHECK(std::abs(obj.shape.a3 - 0.25f) < 0.1f);
+  // yaw recovered up to axis symmetry: the estimated R^T must align with
+  // the true rotation up to a multiple of 90 degrees around z
+  // NOTE: the line-alignment method carries an inherent perspective bias
+  // (it compares box-EDGE projections against CENTER-axis projections), so
+  // a few degrees of error is expected — the reference shares this
+  // approximation. Accept < 0.15 rad (~8.6 deg) mod 90-degree symmetry.
+  Mat3 rel = obj.t_obj_w.R * r;  // should be ~identity (mod 90-degree flips)
+  float ang = std::atan2(rel(1, 0), rel(0, 0));
+  float folded = std::fmod(std::abs(ang) + static_cast<float>(M_PI) / 4,
+                           static_cast<float>(M_PI) / 2) -
+                 static_cast<float>(M_PI) / 4;
+  CHECK(std::abs(folded) < 0.15f);
+  return 0;
+}
+
+int TestAssociationAndMerge() {
+  ObjectConfig cfg;
+  auto pts_a = MakeCluster(80, {0, 0, 0}, 0.2f);
+  auto pts_b = MakeCluster(80, {0.05f, 0, 0}, 0.2f);  // same object, re-seen
+  auto pts_c = MakeCluster(80, {4, 4, 0}, 0.2f);      // different object
+
+  ObjectMap obj(1, 0, cfg);
+  std::vector<MapPoint*> pa;
+  for (auto& p : pts_a) pa.push_back(&p);
+  obj.AddNewPoints(pa, 0);
+
+  FrameContext frame = MakeFrame({-3, 0, 1});
+  ObjectFrame same, other;
+  for (auto& p : pts_b) same.points.push_back(&p);
+  for (auto& p : pts_c) other.points.push_back(&p);
+  CHECK(obj.WhetherAssociation(same, frame));
+  CHECK(!obj.WhetherAssociation(other, frame));
+
+  // merging absorbs gated points and histories
+  ObjectMap objc(1, 3, cfg);
+  std::vector<MapPoint*> pc;
+  for (auto& p : pts_b) pc.push_back(&p);
+  objc.AddNewPoints(pc, 3);
+  objc.n_obs = 4;
+  objc.history_pos.push_back({0.05f, 0, 0});
+  obj.n_obs = 6;
+  obj.EstimatePose(frame);
+  obj.EstimateShape();
+  size_t before = obj.points.size();
+  obj.Merge(&objc, /*cur_keyframe_stamp=*/0.0);
+  CHECK(obj.points.size() > before);
+  CHECK(obj.n_obs == 10);
+  CHECK(obj.history_pos.size() == 1);
+  return 0;
+}
+
+int TestTTable() {
+  // spot checks vs standard two-sided critical values
+  CHECK(std::abs(t_critical(10, 0) - 2.228f) < 0.01f);   // dof 10, a=.05
+  CHECK(std::abs(t_critical(30, 1) - 2.750f) < 0.01f);   // dof 30, a=.01
+  CHECK(std::abs(t_critical(100, 2) - 3.390f) < 0.01f);  // dof 100, a=.001
+  CHECK(t_critical(0, 0) == t_critical(1, 0));           // clamped
+  CHECK(t_critical(500, 0) == t_critical(101, 0));
+  return 0;
+}
+
+}  // namespace
+
+int main() {
+  int rc = 0;
+  rc |= TestEIF();
+  rc |= TestObjectMapEIFFilter();
+  rc |= TestBoxPlotFilter();
+  rc |= TestMergeLines();
+  rc |= TestPoseFromLinesAndShape();
+  rc |= TestAssociationAndMerge();
+  rc |= TestTTable();
+  if (rc == 0) std::printf("object_layer_test: ALL OK\n");
+  return rc;
+}

@@ -1,0 +1,20 @@
+"""Build + run the C++ object-layer unit tests (EIF, box-plot filter, line
+merging, cuboid pose/shape from lines + PCA, association, merging,
+t-table)."""
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from tests.test_native_shim import BUILD, _build_native
+
+
+@pytest.mark.skipif(shutil.which("cmake") is None, reason="no cmake")
+def test_object_layer_cpp():
+    _build_native()
+    binary = os.path.join(BUILD, "object_layer_test")
+    out = subprocess.run([binary], capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, f"stdout={out.stdout} stderr={out.stderr}"
+    assert "ALL OK" in out.stdout
