@@ -7,11 +7,14 @@
 
 #include <map>
 
+#include <opencv2/core.hpp>
+
 #include "romap/types.h"
 
 namespace romap {
 
 class ObjectMap;
+class KeyFrame;
 
 struct MapPoint {
   Vec3 pos{0, 0, 0};
@@ -19,10 +22,21 @@ struct MapPoint {
   // object -> frame id at which this point was associated with it
   std::map<ObjectMap*, long> objects;
 
+  // --- tracking-side state (unused by pure object-layer tests) ----------
+  long id = -1;
+  cv::Mat descriptor;                 // 1x32 ORB, representative
+  std::map<KeyFrame*, int> obs;       // keyframe -> keypoint index
+  int n_found = 1, n_visible = 1;     // tracking statistics
+  long last_seen_frame = -1;
+  long first_kf_id = -1;
+
   void AddObject(ObjectMap* obj, long frame_id) {
     objects.emplace(obj, frame_id);
   }
   void EraseObject(ObjectMap* obj) { objects.erase(obj); }
+  float FoundRatio() const {
+    return n_visible > 0 ? float(n_found) / n_visible : 0.f;
+  }
 };
 
 }  // namespace romap

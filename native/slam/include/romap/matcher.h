@@ -1,0 +1,37 @@
+// Descriptor matching strategies (ref src/ORBmatcher.cc behaviors, rebuilt):
+// windowed brute matching for initialization, projection-guided search for
+// motion-model and local-map tracking, epipolar search for triangulation.
+#pragma once
+
+#include <utility>
+#include <vector>
+
+#include "romap/frame.h"
+#include "romap/map.h"
+
+namespace romap {
+
+constexpr int kOrbDistHigh = 100;
+constexpr int kOrbDistLow = 50;
+
+// Window search around identical image locations (for two-view init).
+// Returns matches as idx2 per idx1 (-1 = none); ratio test 0.9.
+int SearchForInitialization(const Frame& f1, const Frame& f2,
+                            std::vector<int>* matches12,
+                            float window = 100.0f);
+
+// Project last frame's map points into the current frame with the current
+// pose guess, match within a radius.
+int SearchByProjectionLastFrame(Frame& cur, const Frame& last, float radius);
+
+// Project candidate map points into the current frame, match within radius;
+// fills cur.points.
+int SearchByProjectionMapPoints(Frame& cur, const std::vector<MapPoint*>& pts,
+                                float radius);
+
+// Match unassociated features between two keyframes under the epipolar
+// constraint of their relative pose (for triangulating new points).
+int SearchForTriangulation(const KeyFrame& kf1, const KeyFrame& kf2,
+                           std::vector<std::pair<int, int>>* matches);
+
+}  // namespace romap

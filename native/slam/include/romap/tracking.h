@@ -1,0 +1,130 @@
+// Monocular tracking + object pipeline — the rebuilt equivalent of the
+// reference's Tracking/LocalMapping pair (ref src/Tracking.cc:309-2537,
+// src/LocalMapping.cc:58-1292), single-threaded by design: the expensive
+// async half (NeRF training) already lives in the TPU runtime process, so
+// the frontend stays a simple deterministic loop.
+//
+// Per frame: ORB -> motion-model pose (PnP) -> local-map tracking ->
+// object pipeline (detection filtering, map-point binding, association,
+// landmark update) -> keyframe decision -> mapping step (triangulation,
+// culling, object merge/cull, NeRF triggering).
+#pragma once
+
+#include <functional>
+#include <memory>
+#include <optional>
+#include <set>
+#include <vector>
+
+#include <opencv2/core.hpp>
+
+#include "romap/features.h"
+#include "romap/frame.h"
+#include "romap/map.h"
+#include "romap/object_map.h"
+
+namespace romap {
+
+struct TrackingConfig {
+  CameraModel cam;
+  int n_features = 1200;
+  // detection filtering (ref src/Tracking.cc:393-469)
+  std::set<int> ignore_classes;
+  float min_box_area_ratio = 0.005f;
+  float max_box_area_ratio = 0.5f;
+  float mutual_iou_filter = 0.4f;
+  int edge_margin = 20;
+  // object lifecycle
+  int init_after_frames = 3;       // ref Tracking.cc:1354 (frame > init+3)
+  int min_points_new_object = 10;  // min points to spawn a landmark
+  int min_continue_obs = 3;        // ref Minimum.continue.obs
+  ObjectConfig object;
+  // keyframe policy
+  int max_frames_between_kf = 10;
+  float kf_tracked_ratio = 0.8f;
+  // NeRF triggering (ref LocalMapping.cc:1199-1266): create when the
+  // camera-object viewing angle changed by > 2*angle_change since creation
+  // observation and >= min_bboxes_for_nerf keyframe boxes pend; push
+  // incremental batches at > angle_change.
+  float nerf_angle_change = 0.25f;  // radians
+  int min_bboxes_for_nerf = 10;
+};
+
+// Detection input per frame (from YOLO files / instance masks).
+struct Detection {
+  cv::Rect_<float> rect;
+  int cls = 0;
+  float confidence = 1.0f;
+};
+
+// Callbacks into the NeRF runtime (wired to monerf::NerfManagerOnline by the
+// System; null-able so SLAM runs standalone).
+struct NerfHooks {
+  std::function<void(const Frame&, const cv::Mat& rgb, const cv::Mat& instance,
+                     const cv::Mat& sparse_depth)> on_keyframe;
+  std::function<int(ObjectMap*)> create_nerf;  // returns nerf index
+  std::function<void(ObjectMap*, const std::vector<std::array<int64_t, 5>>&)>
+      update_bboxes;  // rows: frame_idx, x, y, h, w
+};
+
+class Tracker {
+ public:
+  explicit Tracker(const TrackingConfig& cfg);
+
+  // Process one frame. rgb: BGR or RGB u8 (used for ORB via gray),
+  // instance: u8 mask (may be empty), detections: filtered externally or raw.
+  // Returns the camera pose when tracking succeeded.
+  std::optional<SE3> Track(const cv::Mat& gray, const cv::Mat& instance,
+                           const std::vector<Detection>& detections,
+                           double timestamp, const cv::Mat& rgb = {});
+
+  enum class State { kNotInitialized, kOk, kLost };
+  State state() const { return state_; }
+  Map& map() { return map_; }
+  const Frame& current() const { return cur_; }
+  NerfHooks hooks;
+
+  // trajectory of every tracked frame (TUM export)
+  struct Stamped {
+    double t;
+    SE3 tcw;
+  };
+  const std::vector<Stamped>& trajectory() const { return trajectory_; }
+
+  void FinalizeObjects();  // final EIF + shape pass (ref LocalMapping.cc:135-146)
+
+ private:
+  void BuildFrame(const cv::Mat& gray, const cv::Mat& instance,
+                  const std::vector<Detection>& detections, double timestamp);
+  std::vector<Detection> FilterDetections(const std::vector<Detection>& in) const;
+  bool Initialize();
+  bool TrackWithMotionModel();
+  bool TrackLocalMap();
+  void ObjectPipeline(const cv::Mat& instance);
+  bool NeedKeyFrame() const;
+  KeyFrame* MakeKeyFrame(const cv::Mat& rgb, const cv::Mat& instance);
+  void MappingStep(KeyFrame* kf);  // triangulate/cull/merge/NeRF
+  void TriggerNerf(KeyFrame* kf);
+  cv::Mat SparseDepth(const KeyFrame& kf) const;
+
+  TrackingConfig cfg_;
+  OrbExtractor orb_;
+  Map map_;
+  State state_ = State::kNotInitialized;
+
+  Frame cur_, last_;
+  Frame init_ref_;
+  bool has_init_ref_ = false;
+  SE3 velocity_;
+  bool has_velocity_ = false;
+  KeyFrame* last_kf_ = nullptr;
+  long frames_since_kf_ = 0;
+  long init_frame_id_ = 0;
+  std::vector<Stamped> trajectory_;
+
+  // per-object creation-time viewing direction (for the angle trigger)
+  std::map<ObjectMap*, Vec3> first_view_dir_;
+  std::map<ObjectMap*, Vec3> last_pushed_dir_;
+};
+
+}  // namespace romap

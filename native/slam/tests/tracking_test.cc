@@ -1,0 +1,225 @@
+// End-to-end tracking test on a synthetic rendered sequence: a dotted
+// "room" (point-sprite walls for ORB texture) plus one textured sphere
+// object with detection boxes + instance masks. Verifies: initialization,
+// per-frame tracking with small ATE vs ground truth (up to monocular
+// scale), and object-landmark creation near the true object.
+
+#include <cmath>
+#include <cstdio>
+#include <random>
+
+#include <opencv2/imgproc.hpp>
+
+#include "romap/tracking.h"
+
+#define CHECK(cond)                                                        \
+  do {                                                                     \
+    if (!(cond)) {                                                         \
+      std::fprintf(stderr, "FAIL %s:%d: %s\n", __FILE__, __LINE__, #cond); \
+      return 1;                                                            \
+    }                                                                      \
+  } while (0)
+
+using namespace romap;
+
+namespace {
+
+constexpr int W = 640, H = 480;
+
+struct World {
+  std::vector<Vec3> dots;      // wall texture points
+  std::vector<int> dot_shade;  // intensity
+  Vec3 sphere_center{0.0f, 0.3f, 5.0f};
+  float sphere_r = 0.45f;
+};
+
+World MakeWorld() {
+  World w;
+  std::mt19937 rng(3);
+  std::uniform_real_distribution<float> ux(-4, 4), uy(-2.5, 2.5);
+  std::uniform_int_distribution<int> shade(40, 220);
+  // back wall z=8, side walls x=+-4, floor y=2.5
+  for (int i = 0; i < 700; ++i) {
+    w.dots.push_back({ux(rng), uy(rng), 8.0f});
+    w.dot_shade.push_back(shade(rng));
+  }
+  // distinctive landmarks: clustered dot triplets (unique constellations)
+  for (int i = 0; i < 120; ++i) {
+    Vec3 base{ux(rng), uy(rng), 8.0f};
+    for (int k = 0; k < 3; ++k) {
+      w.dots.push_back(base + Vec3(0.02f * (i % 7) * k, 0.015f * ((i+k) % 5), 0));
+      w.dot_shade.push_back(shade(rng));
+    }
+  }
+  for (int i = 0; i < 250; ++i) {
+    float z = 2.0f + 6.0f * (i % 50) / 50.0f;
+    w.dots.push_back({i % 2 ? 4.0f : -4.0f, uy(rng), z});
+    w.dot_shade.push_back(shade(rng));
+    w.dots.push_back({ux(rng), 2.5f, 2.0f + 6.0f * ((i * 7) % 50) / 50.0f});
+    w.dot_shade.push_back(shade(rng));
+  }
+  return w;
+}
+
+SE3 CameraPose(int i) {
+  // slow sideways arc with slight yaw, looking roughly down +z
+  float t = i * 0.04f;
+  SE3 twc;
+  twc.R = YawRotation(0.0f);
+  // rotate about y by small angle: camera x-z plane
+  float a = 0.08f * std::sin(t * 2.0f) + 0.02f * i * 0.04f;
+  twc.R = Mat3(std::cos(a), 0, std::sin(a), 0, 1, 0, -std::sin(a), 0,
+               std::cos(a));
+  twc.t = Vec3(1.2f * std::sin(t), 0.2f * std::sin(t * 1.3f), 0.3f * t);
+  return twc;  // camera-to-world
+}
+
+void Render(const World& w, const SE3& twc, cv::Mat* gray, cv::Mat* instance,
+            Detection* det, bool* visible) {
+  CameraModel cam{520, 520, 320, 240, 0, 0, W, H};
+  SE3 tcw = twc.inverse();
+  *gray = cv::Mat(H, W, CV_8UC1, cv::Scalar(235));
+  *instance = cv::Mat::zeros(H, W, CV_8UC1);
+
+  for (size_t i = 0; i < w.dots.size(); ++i) {
+    Vec3 c = tcw * w.dots[i];
+    if (c[2] < 0.3f) continue;
+    cv::Point2f uv = cam.Project(c);
+    if (uv.x < -5 || uv.y < -5 || uv.x > W + 5 || uv.y > H + 5) continue;
+    int r = std::max(2, static_cast<int>(9.0f / c[2]));
+    cv::circle(*gray, uv, r, cv::Scalar(w.dot_shade[i]), -1);
+  }
+
+  // textured sphere: per-pixel ray-march
+  Vec3 cam_pos = twc.t;
+  float min_x = W, min_y = H, max_x = -1, max_y = -1;
+  for (int py = 0; py < H; ++py) {
+    for (int px = 0; px < W; ++px) {
+      Vec3 d_cam((px - cam.cx) / cam.fx, (py - cam.cy) / cam.fy, 1.0f);
+      Vec3 d = twc.R * d_cam;
+      d *= 1.0f / std::sqrt(d.dot(d));
+      Vec3 oc = cam_pos - w.sphere_center;
+      float b = oc.dot(d);
+      float c2 = oc.dot(oc) - w.sphere_r * w.sphere_r;
+      float disc = b * b - c2;
+      if (disc <= 0) continue;
+      float t = -b - std::sqrt(disc);
+      if (t < 0.3f) continue;
+      Vec3 p = cam_pos + d * t - w.sphere_center;
+      // high-frequency texture: checker on the surface
+      int cx = static_cast<int>((p[0] + 1) * 14) + static_cast<int>((p[1] + 1) * 14) +
+               static_cast<int>((p[2] + 1) * 14);
+      gray->at<uint8_t>(py, px) = (cx % 2) ? 60 : 170;
+      instance->at<uint8_t>(py, px) = 63;  // class id
+      min_x = std::min(min_x, static_cast<float>(px));
+      max_x = std::max(max_x, static_cast<float>(px));
+      min_y = std::min(min_y, static_cast<float>(py));
+      max_y = std::max(max_y, static_cast<float>(py));
+    }
+  }
+  *visible = max_x > 0 && (max_x - min_x) > 24;
+  if (*visible) {
+    det->rect = {min_x, min_y, max_x - min_x + 1, max_y - min_y + 1};
+    det->cls = 63;
+    det->confidence = 0.9f;
+  }
+}
+
+}  // namespace
+
+int main() {
+  World world = MakeWorld();
+  TrackingConfig cfg;
+  cfg.cam = {520, 520, 320, 240, 0, 0, W, H};
+  cfg.max_frames_between_kf = 5;
+  cfg.nerf_angle_change = 0.05f;
+  Tracker tracker(cfg);
+
+  int created_nerfs = 0, bbox_pushes = 0;
+  tracker.hooks.create_nerf = [&](ObjectMap*) { return created_nerfs++; };
+  tracker.hooks.update_bboxes =
+      [&](ObjectMap*, const std::vector<std::array<int64_t, 5>>& rows) {
+        bbox_pushes += static_cast<int>(rows.size());
+      };
+  tracker.hooks.on_keyframe = [](const Frame&, const cv::Mat&, const cv::Mat&,
+                                 const cv::Mat&) {};
+
+  const int n_frames = 60;
+  std::vector<SE3> gt, est;
+  std::vector<int> est_idx;
+  int tracked = 0;
+  for (int i = 0; i < n_frames; ++i) {
+    SE3 twc = CameraPose(i);
+    cv::Mat gray, instance;
+    Detection det;
+    bool visible = false;
+    Render(world, twc, &gray, &instance, &det, &visible);
+    std::vector<Detection> dets;
+    if (visible) dets.push_back(det);
+    auto pose = tracker.Track(gray, instance, dets, i * 0.1, gray);
+    if (pose) {
+      ++tracked;
+      gt.push_back(twc.inverse());
+      est.push_back(*pose);
+      est_idx.push_back(i);
+    }
+  }
+  std::printf("tracked %d/%d frames, state=%d\n", tracked, n_frames,
+              static_cast<int>(tracker.state()));
+  CHECK(tracked > n_frames * 2 / 3);
+  CHECK(tracker.state() == Tracker::State::kOk);
+
+  // ATE up to monocular scale: align est translation scale to GT using
+  // median ratio of camera-center displacements from the first pose
+  std::vector<float> ratios;
+  Vec3 g0 = gt.front().inverse().t, e0 = est.front().inverse().t;
+  for (size_t k = 1; k < gt.size(); ++k) {
+    float gn = static_cast<float>(cv::norm(gt[k].inverse().t - g0));
+    float en = static_cast<float>(cv::norm(est[k].inverse().t - e0));
+    if (en > 1e-5f && gn > 1e-3f) ratios.push_back(gn / en);
+  }
+  CHECK(ratios.size() > 10);
+  std::nth_element(ratios.begin(), ratios.begin() + ratios.size() / 2,
+                   ratios.end());
+  float scale = ratios[ratios.size() / 2];
+  float ate = 0;
+  for (size_t k = 0; k < gt.size(); ++k) {
+    Vec3 gc = gt[k].inverse().t - g0;
+    Vec3 ec = (est[k].inverse().t - e0) * scale;
+    ate += static_cast<float>(cv::norm(gc - ec));
+  }
+  ate /= gt.size();
+  std::printf("ATE (scale-aligned): %.4f m over %zu poses (scale %.3f)\n", ate,
+              gt.size(), scale);
+  // ~4% drift over a 2.5 m trajectory on blob-textured synthetic imagery
+  // (keypoint localization noise dominates); tightening this is round-2
+  // work (covisibility-graph BA, descriptor refresh, subpixel corners).
+  CHECK(ate < 0.15f);
+
+  // object landmark near the true sphere (in the SLAM's scaled world)
+  auto objects = tracker.map().Objects();
+  std::printf("objects: %zu\n", objects.size());
+  CHECK(!objects.empty());
+  ObjectMap* obj = objects.front();
+  CHECK(obj->cls == 63);
+  CHECK(obj->points.size() > 15);
+  Vec3 center_est = obj->t_obj_w.inverse().t * scale + g0 * 0.0f;
+  // compare in the GT frame: scale est world by `scale` (gauge alignment is
+  // identity here because both worlds share the first camera at identity)
+  float center_err = static_cast<float>(
+      cv::norm(center_est - world.sphere_center));
+  std::printf("object center err: %.3f (est %.2f %.2f %.2f)\n", center_err,
+              center_est[0], center_est[1], center_est[2]);
+  CHECK(center_err < 0.4f);
+  obj->EstimateShape();
+  std::printf("half extents: %.2f %.2f %.2f (true r=%.2f), nerfs=%d pushes=%d\n",
+              obj->shape.a1 * scale, obj->shape.a2 * scale,
+              obj->shape.a3 * scale, world.sphere_r, created_nerfs,
+              bbox_pushes);
+  CHECK(std::abs(obj->shape.a1 * scale - world.sphere_r) < 0.25f);
+  CHECK(created_nerfs >= 1);
+  CHECK(bbox_pushes >= 10);
+
+  std::printf("tracking_test: ALL OK\n");
+  return 0;
+}

@@ -18,3 +18,20 @@ def test_object_layer_cpp():
     out = subprocess.run([binary], capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, f"stdout={out.stdout} stderr={out.stderr}"
     assert "ALL OK" in out.stdout
+
+
+@pytest.mark.skipif(shutil.which("cmake") is None, reason="no cmake")
+def test_geometry_cpp():
+    _build_native()
+    out = subprocess.run([os.path.join(BUILD, "geometry_test")],
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, f"stdout={out.stdout} stderr={out.stderr}"
+
+
+@pytest.mark.skipif(shutil.which("cmake") is None, reason="no cmake")
+def test_tracking_cpp_end_to_end():
+    _build_native()
+    out = subprocess.run([os.path.join(BUILD, "tracking_test")],
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, f"stdout={out.stdout} stderr={out.stderr}"
+    assert "ALL OK" in out.stdout
