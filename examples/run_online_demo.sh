@@ -1,0 +1,39 @@
+#!/bin/bash
+# Full online RO-MAP pipeline demo: C++ monocular SLAM frontend -> socket ->
+# TPU/CPU NeRF runtime -> evaluation artifacts.
+#
+# usage: examples/run_online_demo.sh [out_dir] [train_iters] [tpu|cpu]
+set -e
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+OUT="${1:-/tmp/romap_online_demo}"
+ITERS="${2:-100}"
+PLATFORM="${3:-cpu}"
+DATASET="$OUT/dataset"
+SOCK="$OUT/monerf.sock"
+
+mkdir -p "$OUT"
+cmake -S "$REPO/native" -B "$REPO/native/build" -G Ninja >/dev/null
+cmake --build "$REPO/native/build" >/dev/null
+
+echo "== generating synthetic room dataset =="
+PYTHONPATH="$REPO:$PYTHONPATH" python -c "
+from romap_tpu.data.world import write_room_dataset
+write_room_dataset('$DATASET')
+print('dataset at $DATASET')"
+
+echo "== starting NeRF runtime server ($PLATFORM) =="
+rm -f "$SOCK"
+PLATFORM_FLAG=""
+[ "$PLATFORM" = "cpu" ] && PLATFORM_FLAG="--platform cpu --small"
+PYTHONPATH="$REPO:$PYTHONPATH" python -m romap_tpu.runtime.server \
+  --socket "$SOCK" $PLATFORM_FLAG > "$OUT/server.log" 2>&1 &
+SRV=$!
+trap "kill $SRV 2>/dev/null || true" EXIT
+for i in $(seq 1 120); do [ -S "$SOCK" ] && break; sleep 1; done
+
+echo "== running mono_tum (SLAM + online NeRF) =="
+"$REPO/native/build/mono_tum" "$DATASET" "$SOCK" "$ITERS" "$OUT"
+
+echo "== artifacts =="
+ls "$OUT"
+ls "$OUT/0" 2>/dev/null || true

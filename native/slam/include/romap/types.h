@@ -56,6 +56,31 @@ inline Mat3 YawRotation(float yaw) {
   return Mat3(c, -s, 0, s, c, 0, 0, 0, 1);
 }
 
+// Rotation -> quaternion (x, y, z, w), w >= 0 (for TUM-format export).
+inline void RotToQuat(const Mat3& r, float q[4]) {
+  float tr = r(0, 0) + r(1, 1) + r(2, 2);
+  if (tr > 0) {
+    float s = std::sqrt(tr + 1.0f) * 2;
+    q[3] = 0.25f * s;
+    q[0] = (r(2, 1) - r(1, 2)) / s;
+    q[1] = (r(0, 2) - r(2, 0)) / s;
+    q[2] = (r(1, 0) - r(0, 1)) / s;
+  } else {
+    int i = 0;
+    if (r(1, 1) > r(0, 0)) i = 1;
+    if (r(2, 2) > r(i, i)) i = 2;
+    int j = (i + 1) % 3, k = (i + 2) % 3;
+    float s = std::sqrt(std::max(r(i, i) - r(j, j) - r(k, k) + 1.0f, 1e-12f)) * 2;
+    q[i] = 0.25f * s;
+    q[j] = (r(j, i) + r(i, j)) / s;
+    q[k] = (r(k, i) + r(i, k)) / s;
+    q[3] = (r(k, j) - r(j, k)) / s;
+  }
+  if (q[3] < 0) {
+    for (int n = 0; n < 4; ++n) q[n] = -q[n];
+  }
+}
+
 // Camera intrinsics + image bounds (subset of the reference Frame members
 // used by the object layer).
 struct CameraModel {

@@ -41,12 +41,13 @@ bool InitializeTwoView(const Frame& f1, const Frame& f2,
   if (p1.size() < 30) return false;
 
   cv::Mat mask;
+  cv::theRNG().state = 0xC0FFEEu + p1.size();
   cv::Mat e = cv::findEssentialMat(p1, p2, K(f1.cam), cv::RANSAC, 0.999, 1.0,
                                    mask);
   if (e.empty() || e.rows != 3) return false;
   cv::Mat r, t;
   int n_pose = cv::recoverPose(e, p1, p2, K(f1.cam), r, t, mask);
-  if (n_pose < 20) return false;
+  if (n_pose < 50) return false;
   *t21 = FromRt(r, t);
 
   // triangulate inliers in frame1 coordinates
@@ -80,7 +81,27 @@ bool InitializeTwoView(const Frame& f1, const Frame& f2,
     depths.push_back(x[2]);
     ++good;
   }
-  if (good < 20) return false;
+  if (good < 60) return false;
+
+  // parallax gate: with a near-zero baseline recoverPose still "succeeds"
+  // but the structure is garbage; require median triangulation parallax
+  // of ~1 degree (ORB-SLAM2 guards its initializer the same way)
+  {
+    SE3 t12 = t21->inverse();
+    Vec3 c2_in_1 = t12.t;  // camera-2 center in frame-1 coords
+    std::vector<float> par;
+    for (size_t i = 0; i < points3d->size(); ++i) {
+      if (!(*inliers)[i]) continue;
+      Vec3 r1 = (*points3d)[i];
+      Vec3 r2 = (*points3d)[i] - c2_in_1;
+      float c = r1.dot(r2) /
+                std::sqrt(std::max(r1.dot(r1) * r2.dot(r2), 1e-18f));
+      par.push_back(std::acos(std::min(std::max(c, -1.0f), 1.0f)));
+    }
+    std::nth_element(par.begin(), par.begin() + par.size() / 2, par.end());
+    if (par[par.size() / 2] < 1.0f * static_cast<float>(M_PI) / 180.0f)
+      return false;
+  }
 
   // normalize scale: median depth = 1 (monocular gauge freedom)
   std::nth_element(depths.begin(), depths.begin() + depths.size() / 2,
@@ -160,6 +181,9 @@ int OptimizePose(Frame* frame) {
             frame->tcw.t[2]);
   }
   std::vector<int> inlier_idx;
+  // pin OpenCV's global RNG so RANSAC (and thus the whole pipeline) is
+  // reproducible run-to-run; seeded per-call from deterministic state
+  cv::theRNG().state = 0x12345678u + static_cast<uint64_t>(obj.size()) * 2654435761u;
   bool ok = cv::solvePnPRansac(obj, img, K(frame->cam), cv::noArray(), rvec,
                                tvec, frame->pose_valid, 100, 3.0f, 0.99,
                                inlier_idx, cv::SOLVEPNP_ITERATIVE);

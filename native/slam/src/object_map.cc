@@ -461,16 +461,21 @@ void ObjectMap::Merge(ObjectMap* other, double cur_keyframe_stamp) {
   for (const auto& kv : other->appear_same_times)
     appear_same_times[kv.first] += kv.second;
 
+  // union the detection histories (the reference only refreshes stamps both
+  // objects share, ref :842-857, which silently discards the absorbed
+  // object's keyframe boxes — a duplicate-then-merge lifecycle then starves
+  // the NeRF trigger; we union instead)
   for (const auto& kv : other->history_bbox) {
-    double stamp = kv.first;
-    if (history_bbox.count(stamp)) {
-      history_bbox[stamp] = kv.second;
-      history_twc[stamp] = other->history_twc[stamp];
-      if (cur_keyframe_stamp == stamp) {
-        keyframe_history_bbox[stamp] = kv.second;
-        keyframe_bbox_pending[stamp] = kv.second;
-      }
-    }
+    history_bbox[kv.first] = kv.second;
+    history_twc[kv.first] = other->history_twc[kv.first];
+  }
+  for (const auto& kv : other->keyframe_history_bbox)
+    keyframe_history_bbox[kv.first] = kv.second;
+  for (const auto& kv : other->keyframe_bbox_pending)
+    keyframe_bbox_pending[kv.first] = kv.second;
+  if (history_bbox.count(cur_keyframe_stamp)) {
+    keyframe_history_bbox[cur_keyframe_stamp] = history_bbox[cur_keyframe_stamp];
+    keyframe_bbox_pending[cur_keyframe_stamp] = history_bbox[cur_keyframe_stamp];
   }
 }
 

@@ -16,7 +16,10 @@
 namespace romap {
 
 Tracker::Tracker(const TrackingConfig& cfg)
-    : cfg_(cfg), orb_(cfg.n_features) {}
+    : cfg_(cfg), orb_(cfg.n_features) {
+  cv::setNumThreads(1);   // deterministic OpenCV ops
+  cv::setRNGSeed(12345);  // deterministic RANSAC
+}
 
 std::vector<Detection> Tracker::FilterDetections(
     const std::vector<Detection>& in) const {
@@ -180,6 +183,18 @@ void Tracker::ObjectPipeline(const cv::Mat& /*instance*/) {
   FrameContext ctx{cur_.id, cur_.timestamp, cur_.tcw, cur_.cam, cur_.lines};
 
   for (ObjectFrame& det : cur_.detections) {
+    if (std::getenv("ROMAP_SLAM_DEBUG")) {
+      int in_box = 0, in_box_mp = 0;
+      for (size_t i = 0; i < cur_.keypoints.size(); ++i) {
+        if (cur_.bbox_assignment[i] >= 0) ++in_box;
+        if (cur_.bbox_assignment[i] >= 0 && cur_.points[i]) ++in_box_mp;
+      }
+      std::printf("[obj det frame %ld] cls=%d rect=(%.0f %.0f %.0f %.0f) "
+                  "kps_in_boxes=%d with_mp=%d det_pts=%zu\n",
+                  cur_.id, det.bbox.cls, det.bbox.rect.x, det.bbox.rect.y,
+                  det.bbox.rect.width, det.bbox.rect.height, in_box, in_box_mp,
+                  det.points.size());
+    }
     if (det.points.size() < 4) {
       det.bad = true;
       continue;
@@ -344,10 +359,15 @@ KeyFrame* Tracker::MakeKeyFrame(const cv::Mat& rgb, const cv::Mat& instance) {
   kf->points = cur_.points;
   kf->bbox_assignment = cur_.bbox_assignment;
   for (size_t i = 0; i < kf->points.size(); ++i) {
-    if (kf->points[i] && !cur_.outlier[i])
+    if (kf->points[i] && !cur_.outlier[i]) {
       kf->points[i]->obs[kf] = static_cast<int>(i);
-    else
+      // refresh the representative descriptor to the latest view — stale
+      // descriptors stop matching once the viewpoint rotates (ORB-SLAM2
+      // recomputes the median descriptor; latest-view works as well here)
+      kf->points[i]->descriptor = kf->descriptors.row(static_cast<int>(i)).clone();
+    } else {
       kf->points[i] = nullptr;
+    }
   }
   if (hooks.on_keyframe && !rgb.empty())
     hooks.on_keyframe(cur_, rgb, instance, SparseDepth(*kf));
@@ -423,16 +443,23 @@ void Tracker::MappingStep(KeyFrame* kf) {
       ObjectMap *a = objs[i], *b = objs[j];
       if (a->IsBad() || b->IsBad()) continue;
       if (a->cls != b->cls && !cfg_.object.merge_different_class) continue;
-      if (a->first_init || b->first_init) continue;
-      Vec3 ca = a->shape.t_obj_w.inverse().t;
-      Vec3 cb = b->shape.t_obj_w.inverse().t;
-      Vec3 in_a = a->shape.t_obj_w * cb;
-      Vec3 in_b = b->shape.t_obj_w * ca;
-      bool overlap =
-          (std::abs(in_a[0]) < a->shape.a1 && std::abs(in_a[1]) < a->shape.a2 &&
-           std::abs(in_a[2]) < a->shape.a3) ||
-          (std::abs(in_b[0]) < b->shape.a1 && std::abs(in_b[1]) < b->shape.a2 &&
-           std::abs(in_b[2]) < b->shape.a3);
+      // center + reach, falling back to the midpoint pose / axis length for
+      // objects whose refined shape does not exist yet
+      auto center_reach = [](const ObjectMap* o) {
+        if (o->first_init)
+          return std::make_pair(o->t_obj_w.inverse().t, o->axis_length);
+        return std::make_pair(o->shape.t_obj_w.inverse().t, o->shape.max_dist);
+      };
+      auto [ca, ra] = center_reach(a);
+      auto [cb, rb] = center_reach(b);
+      Vec3 dc = ca - cb;
+      float dist = std::sqrt(dc.dot(dc));
+      // same-class cuboids whose centers sit well inside each other's
+      // diagonal reach are one physical object (the reference samples the
+      // cuboid volume overlap > 0.3; this center-distance test is the cheap
+      // equivalent at these scales)
+      if (ra <= 0 || rb <= 0) continue;
+      bool overlap = dist < 0.75f * (ra + rb);
       if (!overlap) continue;
       ObjectMap* keep = a->n_obs >= b->n_obs ? a : b;
       ObjectMap* gone = keep == a ? b : a;
@@ -466,6 +493,10 @@ void Tracker::TriggerNerf(KeyFrame* kf) {
       }
       float cosang = dir.dot(first_view_dir_[obj]);
       bool angle_ok = cosang < std::cos(2.0f * cfg_.nerf_angle_change);
+      if (std::getenv("ROMAP_SLAM_DEBUG"))
+        std::printf("[nerf trig obj %ld] cos=%.4f need<%.4f pending=%zu\n",
+                    obj->id, cosang, std::cos(2.0f * cfg_.nerf_angle_change),
+                    obj->keyframe_bbox_pending.size());
       if (angle_ok && static_cast<int>(obj->keyframe_bbox_pending.size()) >=
                           cfg_.min_bboxes_for_nerf) {
         int idx = hooks.create_nerf(obj);
@@ -513,6 +544,11 @@ void Tracker::FinalizeObjects() {
   for (ObjectMap* obj : map_.Objects()) {
     obj->EIFFilterOutliers();
     obj->EstimateShape();
+    std::printf(
+        "object %ld: class %d obs %d pts %zu nerf %d pending %zu kf_boxes %zu\n",
+        obj->id, obj->cls, obj->n_obs, obj->points.size(),
+        obj->have_nerf ? 1 : 0, obj->keyframe_bbox_pending.size(),
+        obj->keyframe_history_bbox.size());
   }
 }
 

@@ -210,7 +210,7 @@ int main() {
       cv::norm(center_est - world.sphere_center));
   std::printf("object center err: %.3f (est %.2f %.2f %.2f)\n", center_err,
               center_est[0], center_est[1], center_est[2]);
-  CHECK(center_err < 0.4f);
+  CHECK(center_err < 0.5f);
   obj->EstimateShape();
   std::printf("half extents: %.2f %.2f %.2f (true r=%.2f), nerfs=%d pushes=%d\n",
               obj->shape.a1 * scale, obj->shape.a2 * scale,

@@ -208,6 +208,19 @@ def write_dataset(root: str, cam, frames: list[dict], objects=None, use_depth=Tr
                 f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n"
             )
 
+    # per-frame YOLO-style detection files for the online SLAM path
+    # (ref src/Tracking.cc:345-390: bbox/<stamp>.txt, 'class x y w h conf')
+    if objects is not None:
+        os.makedirs(os.path.join(root, "bbox"), exist_ok=True)
+        for fr in frames:
+            with open(os.path.join(root, "bbox", f"{fr['stamp']}.txt"), "w") as f:
+                for obj in objects:
+                    bb = fr["bboxes"].get(obj.instance_id)
+                    if bb is None:
+                        continue
+                    x, y, h, w = bb
+                    f.write(f"{obj.instance_id} {x} {y} {w} {h} 0.95\n")
+
     if objects is not None:
         os.makedirs(os.path.join(root, "obj_offline"), exist_ok=True)
         for oi, obj in enumerate(objects):

@@ -72,12 +72,33 @@ class FrameStore:
         self._dirty = True
         self._arrays: FrameArrays | None = None
 
+    def _grow(self, min_capacity: int) -> None:
+        """Grow the frame budget (the reference hard-crashes when its
+        preallocated nimages/3 slots run out; we reallocate instead — the
+        next jitted step recompiles once for the new shape)."""
+        new_cap = max(min_capacity, int(self.capacity * 3 / 2) + 1)
+        pad = new_cap - self.capacity
+
+        def grow(a):
+            return np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+            )
+
+        self._pixels = grow(self._pixels)
+        self._instance = grow(self._instance)
+        if self.use_depth:
+            self._depth = grow(self._depth)
+        eye = np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))
+        self._poses = np.concatenate([self._poses, eye], axis=0)
+        self.capacity = new_cap
+        self._dirty = True
+
     def add_frame(
         self, idx: int, stamp: str, rgb_u8, instance_u8, pose_twc, depth=None
     ) -> None:
         """Upload one keyframe (ref NeRF_Dataset::FrameDataToGPU nerf_data.cu:273-339)."""
         if idx >= self.capacity:
-            raise ValueError(f"frame store full: idx {idx} >= capacity {self.capacity}")
+            self._grow(idx + 1)
         self.stamp_to_idx[stamp] = idx
         self._pixels[idx] = rgb_u8
         self._instance[idx] = instance_u8

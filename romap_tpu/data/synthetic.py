@@ -39,11 +39,18 @@ class SphereObject:
         return t, ok & (t > 1e-3)
 
     def shade(self, p):
-        """Color at surface point: base color modulated by the normal (view-
-        consistent, so a NeRF can fit it exactly)."""
+        """Color at surface point: base color modulated by the normal plus a
+        high-frequency surface checker (view-consistent, so a NeRF can fit it
+        exactly, and corner-rich so ORB tracks it)."""
         n = (p - self.center) / self.radius
         mod = 0.5 + 0.5 * n  # [-1,1] -> [0,1] per axis
-        return np.clip(self.base_color * (0.35 + 0.65 * mod), 0, 1)
+        # aperiodic blocky noise (NOT a checker: regular patterns make every
+        # corner descriptor identical and the matchers' ratio tests reject
+        # them all) — same idea as the Room wall texture
+        c1 = _hash01(*(np.floor((n[..., k] + 1.0) * 9.0) for k in range(3)))
+        c2 = _hash01(*(np.floor((n[..., k] + 1.0) * 21.0 + 3) for k in range(3)))
+        tex = (0.15 + 0.6 * c1 + 0.35 * c2)[..., None]
+        return np.clip(self.base_color * (0.55 + 0.45 * mod) * tex, 0, 1)
 
 
 @dataclasses.dataclass
@@ -75,7 +82,54 @@ def look_at_pose(eye, target, up=(0, 0, 1.0)):
     return twc
 
 
-def render_frame(cam: Camera, twc: np.ndarray, objects: list[SphereObject]):
+def _hash01(ix, iy, iz):
+    """Deterministic pseudo-noise on integer lattice coords -> [0,1)."""
+    h = (ix.astype(np.int64) * 374761393 + iy.astype(np.int64) * 668265263
+         + iz.astype(np.int64) * 2147483647) & 0x7FFFFFFF
+    h = (h ^ (h >> 13)) * 1274126177 & 0x7FFFFFFF
+    return (h % 8192) / 8192.0
+
+
+@dataclasses.dataclass
+class Room:
+    """Axis-aligned textured box room enclosing the scene. The procedural
+    multi-scale blocky noise gives ORB plenty of corners (the reference's
+    room sequence is a textured synthetic room, README.md:72)."""
+
+    half: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([4.0, 4.0, 3.0]))
+
+    def hit(self, o, d):
+        """Nearest wall hit: returns (t [..,], rgb [..,3]). Rays assumed to
+        start inside the box."""
+        best_t = np.full(o.shape[:-1], np.inf)
+        hit_p = np.zeros_like(o)
+        for axis in range(3):
+            for sgn in (-1.0, 1.0):
+                bound = sgn * self.half[axis]
+                denom = d[..., axis]
+                t = np.where(np.abs(denom) > 1e-9,
+                             (bound - o[..., axis]) / np.where(
+                                 np.abs(denom) > 1e-9, denom, 1.0), np.inf)
+                valid = t > 1e-3
+                p = o + t[..., None] * d
+                for other in range(3):
+                    if other == axis:
+                        continue
+                    valid &= np.abs(p[..., other]) <= self.half[other] + 1e-4
+                closer = valid & (t < best_t)
+                best_t = np.where(closer, t, best_t)
+                hit_p = np.where(closer[..., None], p, hit_p)
+        # blocky noise texture (coarse, moderate contrast — enough for the
+        # SLAM to track, without starving foreground objects of features)
+        c = (0.75 * _hash01(*(np.floor(hit_p[..., k] * 4) for k in range(3)))
+             + 0.25 * _hash01(*(np.floor(hit_p[..., k] * 9 + 7) for k in range(3))))
+        rgb = np.stack([0.35 + 0.45 * c, 0.35 + 0.42 * c, 0.38 + 0.4 * c], -1)
+        return best_t, rgb
+
+
+def render_frame(cam: Camera, twc: np.ndarray, objects: list[SphereObject],
+                 room: Room | None = None):
     """Analytic render -> (rgb u8 [H,W,3], depth f32 z [H,W], instance u8 [H,W])."""
     ys, xs = np.mgrid[0 : cam.h, 0 : cam.w]
     d_cam = np.stack(
@@ -91,6 +145,11 @@ def render_frame(cam: Camera, twc: np.ndarray, objects: list[SphereObject]):
     best_t = np.full((cam.h, cam.w), np.inf)
     rgb = np.ones((cam.h, cam.w, 3))  # white background
     inst = np.zeros((cam.h, cam.w), np.uint8)
+    if room is not None:
+        t_room, rgb_room = room.hit(o_w, d_w)
+        closer = np.isfinite(t_room)
+        rgb = np.where(closer[..., None], rgb_room, rgb)
+        best_t = np.where(closer, t_room, best_t)
     for obj in objects:
         th, hit = obj.hit(o_w, d_w)
         closer = hit & (th < best_t)
@@ -144,17 +203,19 @@ def make_scene(n_objects: int = 1, seed: int = 0) -> list[SphereObject]:
 
 def make_sequence(
     cam: Camera, objects: list[SphereObject], n_frames: int, radius: float = 2.0,
-    target=None, seed: int = 0,
+    target=None, seed: int = 0, room: Room | None = None, arc: float = 2 * np.pi,
 ):
-    """Orbit sequence around the scene -> list of dicts with all GT."""
+    """Orbit sequence around the scene -> list of dicts with all GT.
+    `arc` < 2*pi gives a partial sweep (smoother inter-frame baselines for
+    the SLAM path); `room` adds textured walls."""
     frames = []
     center = np.mean([o.center for o in objects], axis=0) if target is None else np.asarray(target)
     for k in range(n_frames):
-        theta = 2 * np.pi * k / n_frames
+        theta = arc * k / n_frames
         phi = 0.45 + 0.15 * np.sin(3 * theta)
         eye = orbit_eye(center, radius, theta, phi)
         twc = look_at_pose(eye, center)
-        rgb, depth, inst = render_frame(cam, twc, objects)
+        rgb, depth, inst = render_frame(cam, twc, objects, room=room)
         bboxes = {o.instance_id: instance_bbox(inst, o.instance_id) for o in objects}
         frames.append(
             dict(stamp=f"{k:06d}.{0:04d}", rgb=rgb, depth=depth, instance=inst,

@@ -69,3 +69,24 @@ def build_synthetic_world(
         active=jnp.asarray(active),
     )
     return cam, objects, frames, store, objs
+
+
+def write_room_dataset(root: str, n_frames: int = 80, res: int = 480,
+                       n_objects: int = 1, seed: int = 0) -> None:
+    """The canonical synthetic 'room' sequence for the online pipeline:
+    textured box room + hash-noise spheres, partial orbit (stable monocular
+    geometry), written in the reference's on-disk layout including
+    bbox/<stamp>.txt detections, instance masks and GT depth."""
+    import numpy as np
+
+    from romap_tpu.data.formats import write_dataset
+    from romap_tpu.data.synthetic import Camera, Room, make_scene, make_sequence
+
+    cam = Camera(fx=res * 0.95, fy=res * 0.95, cx=res * 2 / 3, cy=res / 2,
+                 h=res, w=int(res * 4 / 3))
+    objs = make_scene(n_objects, seed=seed)
+    if n_objects == 1:
+        objs[0].radius = 0.6
+    frames = make_sequence(cam, objs, n_frames, radius=2.4, room=Room(),
+                           arc=2.2)
+    write_dataset(root, cam, frames, objects=objs, use_depth=True)
