@@ -133,6 +133,7 @@ int main() {
   cfg.cam = {520, 520, 320, 240, 0, 0, W, H};
   cfg.max_frames_between_kf = 5;
   cfg.nerf_angle_change = 0.05f;
+  cfg.min_bboxes_for_nerf = 6;  // small sequence: exercise the trigger
   Tracker tracker(cfg);
 
   int created_nerfs = 0, bbox_pushes = 0;
@@ -218,7 +219,7 @@ int main() {
               bbox_pushes);
   CHECK(std::abs(obj->shape.a1 * scale - world.sphere_r) < 0.25f);
   CHECK(created_nerfs >= 1);
-  CHECK(bbox_pushes >= 10);
+  CHECK(bbox_pushes >= 6);
 
   std::printf("tracking_test: ALL OK\n");
   return 0;
