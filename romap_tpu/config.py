@@ -43,6 +43,10 @@ class EncodingConfig:
     mx_levels: int = 8
     mx_max_resolution: int = 1024
     mx_features: int = 64
+    # VM plane-x-line components (TensoRF-style): restore full-rank texture
+    # capacity that rank-limited CP lines lack. 0 disables.
+    mx_plane_res: int = 128
+    mx_plane_features: int = 16
     # "auto": fused Pallas kernel on TPU, chunked XLA elsewhere;
     # "pallas" / "xla" force an implementation.
     mx_impl: str = "auto"
@@ -60,7 +64,7 @@ class EncodingConfig:
     @property
     def n_output_dims(self) -> int:
         if self.kind == "mxgrid":
-            return self.mx_features
+            return self.mx_features + 3 * self.mx_plane_features
         return self.n_levels * self.n_features_per_level
 
 

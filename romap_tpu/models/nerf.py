@@ -59,6 +59,8 @@ def make_field_spec(cfg: NerfConfig):
             base_resolution=cfg.encoding.base_resolution,
             max_resolution=cfg.encoding.mx_max_resolution,
             features=cfg.encoding.mx_features,
+            plane_res=cfg.encoding.mx_plane_res,
+            plane_features=cfg.encoding.mx_plane_features,
         )
     return hashgrid.make_spec(cfg.encoding)
 
@@ -79,7 +81,7 @@ def init_object_params(key: jax.Array, cfg: NerfConfig, spec):
 def field_apply(params, points: jax.Array, cfg: NerfConfig, spec) -> jax.Array:
     """points [..., 3] in [0,1]^3 -> raw (rgb logits, log-sigma) [..., 4]."""
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
-    table = params["table"].astype(dtype)
+    table = jax.tree.map(lambda a: a.astype(dtype), params["table"])
     if isinstance(spec, mxgrid.MXGridSpec):
         impl = cfg.encoding.mx_impl
         if impl == "pallas" or (

@@ -46,15 +46,20 @@ import numpy as np
 @dataclasses.dataclass(frozen=True)
 class MXGridSpec:
     resolutions: tuple[int, ...]  # 1D resolution ladder (shared by x, y, z)
-    features: int  # K output channels
+    features: int  # K output channels of the CP part
     offsets: tuple[int, ...]  # column offset of each level in the basis
     total_res: int  # sum of resolutions
     chunk: int = 4096  # points per hat-basis tile (bounds the [C, total_res]
     # intermediate; the full [P, total_res] basis must never materialize)
+    # VM (TensoRF-style) plane-x-line components: rank-limited CP lines
+    # underfit full-rank 3D texture; 2D planes restore it, still gather-free
+    # (plane sampling = hat matmul + per-point contraction).
+    plane_res: int = 0  # 0 disables planes
+    plane_features: int = 0  # K_p per plane pair (3 pairs: xy, xz, yz)
 
     @property
     def n_output_dims(self) -> int:
-        return self.features
+        return self.features + 3 * self.plane_features
 
 
 def make_mxspec(
@@ -63,6 +68,8 @@ def make_mxspec(
     max_resolution: int = 1024,
     features: int = 64,
     chunk: int = 4096,
+    plane_res: int = 0,
+    plane_features: int = 0,
 ) -> MXGridSpec:
     if n_levels > 1:
         b = (max_resolution / base_resolution) ** (1.0 / (n_levels - 1))
@@ -75,17 +82,27 @@ def make_mxspec(
         off += r
     return MXGridSpec(
         resolutions=res, features=features, offsets=tuple(offsets), total_res=off,
-        chunk=chunk,
+        chunk=chunk, plane_res=plane_res, plane_features=plane_features,
     )
 
 
 def init_mxgrid(key: jax.Array, spec: MXGridSpec, dtype=jnp.float32):
-    """Factors W_d [3, total_res, K].
+    """Parameters: CP factors W_d [3, total_res, K]; with planes enabled, a
+    dict {lines, planes [3, Rp, Rp, Kp], plane_lines [3, Rp, Kp]}.
 
     Scale: a hat-basis row sums to 1, so A_d ~ N(0, ~0.6 sigma^2). sigma=0.3
     keeps the 3-way product ~ O(1e-2..1e-1) at init — small but alive.
     """
-    return 0.3 * jax.random.normal(key, (3, spec.total_res, spec.features), dtype)
+    k1, k2, k3 = jax.random.split(key, 3)
+    lines = 0.3 * jax.random.normal(k1, (3, spec.total_res, spec.features), dtype)
+    if spec.plane_features == 0:
+        return lines
+    rp, kp = spec.plane_res, spec.plane_features
+    return {
+        "lines": lines,
+        "planes": 0.3 * jax.random.normal(k2, (3, rp, rp, kp), dtype),
+        "plane_lines": 0.3 * jax.random.normal(k3, (3, rp, kp), dtype),
+    }
 
 
 def hat_basis(x: jax.Array, spec: MXGridSpec) -> jax.Array:
@@ -98,13 +115,42 @@ def hat_basis(x: jax.Array, spec: MXGridSpec) -> jax.Array:
     return jnp.concatenate(cols, axis=-1)
 
 
-def _encode_chunk(factors: jax.Array, pts: jax.Array, spec: MXGridSpec) -> jax.Array:
-    """[C, 3] -> [C, K]; the [C, total_res] hat bases live only inside here."""
+def _hat1(x: jax.Array, r: int) -> jax.Array:
+    """[C] -> [C, r] single-resolution tent basis."""
+    xs = x * (r - 1)
+    i = jnp.arange(r, dtype=x.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - i[None, :]))
+
+
+_PLANE_AXES = ((0, 1, 2), (0, 2, 1), (1, 2, 0))  # (u, v, orthogonal line)
+
+
+def _encode_chunk(factors, pts: jax.Array, spec: MXGridSpec) -> jax.Array:
+    """[C, 3] -> [C, n_output_dims]; hat bases live only inside here."""
+    lines = factors["lines"] if isinstance(factors, dict) else factors
     ax = []
     for d in range(3):
         h = hat_basis(pts[:, d], spec)
-        ax.append(jnp.dot(h, factors[d], preferred_element_type=factors.dtype))
-    return ax[0] * ax[1] * ax[2]
+        ax.append(jnp.dot(h, lines[d], preferred_element_type=lines.dtype))
+    out = ax[0] * ax[1] * ax[2]
+    if not isinstance(factors, dict):
+        return out
+
+    # VM components: bilinear plane sample x linear orthogonal-line sample,
+    # all dense (hat matmul on the MXU + per-point contraction on the VPU)
+    rp, kp = spec.plane_res, spec.plane_features
+    c = pts.shape[0]
+    blocks = [out]
+    for i, (u, v, w) in enumerate(_PLANE_AXES):
+        hu = _hat1(pts[:, u], rp)  # [C, Rp]
+        hv = _hat1(pts[:, v], rp)
+        t = jnp.dot(hu, factors["planes"][i].reshape(rp, rp * kp),
+                    preferred_element_type=hu.dtype)  # [C, Rp*Kp]
+        f_pl = jnp.sum(t.reshape(c, rp, kp) * hv[:, :, None], axis=1)  # [C, Kp]
+        f_li = jnp.dot(_hat1(pts[:, w], rp), factors["plane_lines"][i],
+                       preferred_element_type=hu.dtype)  # [C, Kp]
+        blocks.append(f_pl * f_li)
+    return jnp.concatenate(blocks, axis=-1)
 
 
 def encode(factors: jax.Array, p: jax.Array, spec: MXGridSpec) -> jax.Array:
@@ -121,9 +167,11 @@ def encode(factors: jax.Array, p: jax.Array, spec: MXGridSpec) -> jax.Array:
       [..., K] features (dtype of factors).
     """
     batch_shape = p.shape[:-1]
-    pts = p.reshape(-1, 3).astype(factors.dtype)
+    dtype = (factors["lines"] if isinstance(factors, dict) else factors).dtype
+    pts = p.reshape(-1, 3).astype(dtype)
     n = pts.shape[0]
     chunk = spec.chunk
+    k = spec.n_output_dims
     chunk_fn = jax.checkpoint(lambda f, q: _encode_chunk(f, q, spec))
     if n <= chunk:
         out = chunk_fn(factors, pts)
@@ -132,5 +180,5 @@ def encode(factors: jax.Array, p: jax.Array, spec: MXGridSpec) -> jax.Array:
         padded = jnp.pad(pts, ((0, n_pad), (0, 0)))
         tiles = padded.reshape(-1, chunk, 3)
         out = jax.lax.map(lambda q: chunk_fn(factors, q), tiles)
-        out = out.reshape(-1, spec.features)[:n]
-    return out.reshape(*batch_shape, spec.features)
+        out = out.reshape(-1, k)[:n]
+    return out.reshape(*batch_shape, k)

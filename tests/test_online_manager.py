@@ -16,7 +16,7 @@ from romap_tpu.utils.camera import invert_pose
 def tiny_cfg():
     return NerfConfig(
         encoding=EncodingConfig(kind="mxgrid", mx_levels=3, mx_max_resolution=64,
-                                mx_features=16),
+                                mx_features=16, mx_plane_res=32, mx_plane_features=8),
         train=TrainConfig(rays_per_batch=512, samples_per_ray=16, mc_resolution=17),
     )
 
