@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from romap_tpu.ops.mxgrid import _PLANE_AXES, MXGridSpec
 
-TILE = 512  # points per kernel tile
+TILE = 256  # points per kernel tile (VMEM-bounded: CP hat is [TILE, ~2304] fp32)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -65,7 +65,8 @@ def _hat(xd, a_ref, b_ref):
 def _hat1(xd, r: int):
     """[T] coords -> [T, r] single-resolution tent basis."""
     xs = xd * (r - 1)
-    i = jax.lax.broadcasted_iota(jnp.float32, (1, r), 1)
+    # Mosaic only lowers integer iota; convert after
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - i))
 
 
@@ -83,24 +84,28 @@ def _fwd_kernel(x_ref, a_ref, b_ref, w_ref, out_ref):
 
 
 def _plane_feats(x_ref, planes_ref, plines_ref, i: int, rp: int, kp: int, t: int):
+    """Plane pair i: per-channel 2D matmuls (Mosaic cannot reshape across the
+    lane dim, so the [T, Rp, Kp] view is expressed as Kp separate planes)."""
     u, v, w = _PLANE_AXES[i]
     hu = _hat1(x_ref[u, :], rp)
     hv = _hat1(x_ref[v, :], rp)
-    tmat = jnp.dot(hu, planes_ref[i], preferred_element_type=jnp.float32)
-    f_pl = jnp.sum(tmat.reshape(t, rp, kp) * hv[:, :, None], axis=1)
+    cols = []
+    for kk in range(kp):
+        tk = jnp.dot(hu, planes_ref[i, kk], preferred_element_type=jnp.float32)
+        cols.append(jnp.sum(tk * hv, axis=1, keepdims=True))  # [T, 1]
+    f_pl = jnp.concatenate(cols, axis=1)  # [T, Kp]
     f_li = jnp.dot(_hat1(x_ref[w, :], rp), plines_ref[i],
                    preferred_element_type=jnp.float32)
     return hu, hv, f_pl, f_li
 
 
-def _make_fwd_vm_kernel(rp_pl: int, kp: int, k: int):
-    def kernel(x_ref, a_ref, b_ref, w_ref, planes_ref, plines_ref, out_ref):
+def _make_fwd_planes_kernel(rp_pl: int, kp: int):
+    def kernel(x_ref, planes_ref, plines_ref, out_ref):
         t = x_ref.shape[1]
-        out_ref[:, :k] = _cp_out(x_ref, a_ref, b_ref, w_ref).astype(out_ref.dtype)
         for i in range(3):
             _, _, f_pl, f_li = _plane_feats(x_ref, planes_ref, plines_ref, i,
                                             rp_pl, kp, t)
-            out_ref[:, k + i * kp : k + (i + 1) * kp] = (
+            out_ref[:, i * kp : (i + 1) * kp] = (
                 (f_pl * f_li).astype(out_ref.dtype))
 
     return kernel
@@ -141,10 +146,12 @@ def _make_bwd_planes_kernel(rp_pl: int, kp: int):
             dplines_ref[i] += jax.lax.dot_general(
                 hw, gi * f_pl, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dplines_ref.dtype)
-            dt = (hv[:, :, None] * (gi * f_li)[:, None, :]).reshape(t, rp_pl * kp)
-            dplanes_ref[i] += jax.lax.dot_general(
-                hu, dt, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dplanes_ref.dtype)
+            gl = gi * f_li  # [T, Kp]
+            for kk in range(kp):
+                dpk = jax.lax.dot_general(
+                    hu, hv * gl[:, kk : kk + 1], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dplanes_ref[i, kk] += dpk.astype(dplanes_ref.dtype)
 
     return kernel
 
@@ -176,35 +183,38 @@ def _fwd_impl(factors, pts, spec: MXGridSpec, interpret: bool):
         pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((3, rp, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
     ]
-    if kp == 0:
-        out = pl.pallas_call(
-            _fwd_kernel,
-            grid=(grid,),
-            in_specs=common_specs,
-            out_specs=pl.BlockSpec((TILE, k), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((npad, k), lines.dtype),
-            interpret=interpret,
-        )(xt, a[None, :], b[None, :], w)
-        return out[:n]
-
-    planes = factors["planes"].reshape(3, rp_pl, rp_pl * kp)
-    plines = factors["plane_lines"]
-    out = pl.pallas_call(
-        _make_fwd_vm_kernel(rp_pl, kp, k),
+    out_cp = pl.pallas_call(
+        _fwd_kernel,
         grid=(grid,),
-        in_specs=common_specs + [
-            pl.BlockSpec((3, rp_pl, rp_pl * kp), lambda i: (0, 0, 0),
+        in_specs=common_specs,
+        out_specs=pl.BlockSpec((TILE, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, k), lines.dtype),
+        interpret=interpret,
+    )(xt, a[None, :], b[None, :], w)
+    if kp == 0:
+        return out_cp[:n]
+
+    # planes in a separate kernel: the combined version exceeds the 16 MB
+    # VMEM budget (hat tiles + line table + plane stacks at once)
+    planes = factors["planes"].transpose(0, 3, 1, 2)  # [3, Kp, Rp, Rp]
+    plines = factors["plane_lines"]
+    out_pl = pl.pallas_call(
+        _make_fwd_planes_kernel(rp_pl, kp),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, kp, rp_pl, rp_pl), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, rp_pl, kp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, k + 3 * kp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE, 3 * kp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, k + 3 * kp), lines.dtype),
+        out_shape=jax.ShapeDtypeStruct((npad, 3 * kp), lines.dtype),
         interpret=interpret,
-    )(xt, a[None, :], b[None, :], w, planes, plines)
-    return out[:n]
+    )(xt, planes, plines)
+    return jnp.concatenate([out_cp[:n], out_pl[:n]], axis=-1)
 
 
 def _bwd_impl(factors, pts, g, spec: MXGridSpec, interpret: bool):
@@ -237,14 +247,14 @@ def _bwd_impl(factors, pts, g, spec: MXGridSpec, interpret: bool):
     if kp == 0:
         return dlines
 
-    planes = factors["planes"].reshape(3, rp_pl, rp_pl * kp)
+    planes = factors["planes"].transpose(0, 3, 1, 2)  # [3, Kp, Rp, Rp]
     plines = factors["plane_lines"]
     dplanes, dplines = pl.pallas_call(
         _make_bwd_planes_kernel(rp_pl, kp),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, rp_pl, rp_pl * kp), lambda i: (0, 0, 0),
+            pl.BlockSpec((3, kp, rp_pl, rp_pl), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, rp_pl, kp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -252,20 +262,20 @@ def _bwd_impl(factors, pts, g, spec: MXGridSpec, interpret: bool):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((3, rp_pl, rp_pl * kp), lambda i: (0, 0, 0),
+            pl.BlockSpec((3, kp, rp_pl, rp_pl), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, rp_pl, kp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, rp_pl, rp_pl * kp), lines.dtype),
+            jax.ShapeDtypeStruct((3, kp, rp_pl, rp_pl), lines.dtype),
             jax.ShapeDtypeStruct((3, rp_pl, kp), lines.dtype),
         ),
         interpret=interpret,
     )(xt, planes, plines, g[:, k:])
     return {
         "lines": dlines,
-        "planes": dplanes.reshape(3, rp_pl, rp_pl, kp),
+        "planes": dplanes.transpose(0, 2, 3, 1),
         "plane_lines": dplines,
     }
 
