@@ -3,6 +3,7 @@ determinism, artifact rendering — without a SLAM frontend (SURVEY §4d)."""
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -95,9 +96,9 @@ def test_online_manager_end_to_end(tmp_path):
                              train_step_iterations=15, capacity=2)
     replay(str(tmp_path / "trace.pkl"), mgr2)
     np.testing.assert_array_equal(mgr.losses(), mgr2.losses())
-    a = np.asarray(mgr.state.params["table"][0])
-    b = np.asarray(mgr2.state.params["table"][0])
-    np.testing.assert_array_equal(a, b)
+    for la, lb in zip(jax.tree.leaves(mgr.state.params),
+                      jax.tree.leaves(mgr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
 def test_bbox_gate_blocks_training():
