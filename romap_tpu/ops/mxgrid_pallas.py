@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from romap_tpu.ops.mxgrid import _PLANE_AXES, MXGridSpec
 
-TILE = 256  # points per kernel tile (VMEM-bounded: CP hat is [TILE, ~2304] fp32)
+TILE = 512  # CP-kernel tile (hat is [TILE, ~2304] fp32)
+PLANE_TILE = 256  # plane-kernel tile (plane stacks + wide intermediates)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -83,17 +84,29 @@ def _fwd_kernel(x_ref, a_ref, b_ref, w_ref, out_ref):
     out_ref[:] = _cp_out(x_ref, a_ref, b_ref, w_ref).astype(out_ref.dtype)
 
 
+def _block_indicator(rp: int, kp: int):
+    """[rp*kp, kp] 0/1 matrix: column k selects lane block k (the MXU stand-in
+    for the banned lane-crossing reshape [T, rp*kp] -> [T, rp, kp])."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rp * kp, kp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rp * kp, kp), 1)
+    return (rows // rp == cols).astype(jnp.float32)
+
+
+def _tile_lanes(m, reps: int):
+    """[T, rp] -> [T, rp*reps] lane tiling via concatenation."""
+    return jnp.concatenate([m] * reps, axis=1)
+
+
 def _plane_feats(x_ref, planes_ref, plines_ref, i: int, rp: int, kp: int, t: int):
-    """Plane pair i: per-channel 2D matmuls (Mosaic cannot reshape across the
-    lane dim, so the [T, Rp, Kp] view is expressed as Kp separate planes)."""
+    """Plane pair i, fully batched over channels: planes stored channel-major
+    along lanes ([rp, kp*rp], channel k in lane block k), the per-channel
+    weighted reduce becomes one matmul with a block-indicator matrix."""
     u, v, w = _PLANE_AXES[i]
     hu = _hat1(x_ref[u, :], rp)
     hv = _hat1(x_ref[v, :], rp)
-    cols = []
-    for kk in range(kp):
-        tk = jnp.dot(hu, planes_ref[i, kk], preferred_element_type=jnp.float32)
-        cols.append(jnp.sum(tk * hv, axis=1, keepdims=True))  # [T, 1]
-    f_pl = jnp.concatenate(cols, axis=1)  # [T, Kp]
+    t_all = jnp.dot(hu, planes_ref[i], preferred_element_type=jnp.float32)
+    f_pl = jnp.dot(t_all * _tile_lanes(hv, kp), _block_indicator(rp, kp),
+                   preferred_element_type=jnp.float32)  # [T, Kp]
     f_li = jnp.dot(_hat1(x_ref[w, :], rp), plines_ref[i],
                    preferred_element_type=jnp.float32)
     return hu, hv, f_pl, f_li
@@ -147,11 +160,12 @@ def _make_bwd_planes_kernel(rp_pl: int, kp: int):
                 hw, gi * f_pl, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dplines_ref.dtype)
             gl = gi * f_li  # [T, Kp]
-            for kk in range(kp):
-                dpk = jax.lax.dot_general(
-                    hu, hv * gl[:, kk : kk + 1], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dplanes_ref[i, kk] += dpk.astype(dplanes_ref.dtype)
+            # broadcast each channel grad over its lane block, one matmul
+            gl_wide = jnp.dot(gl, _block_indicator(rp_pl, kp).T,
+                              preferred_element_type=jnp.float32)
+            dplanes_ref[i] += jax.lax.dot_general(
+                hu, _tile_lanes(hv, kp) * gl_wide, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dplanes_ref.dtype)
 
     return kernel
 
@@ -197,19 +211,22 @@ def _fwd_impl(factors, pts, spec: MXGridSpec, interpret: bool):
 
     # planes in a separate kernel: the combined version exceeds the 16 MB
     # VMEM budget (hat tiles + line table + plane stacks at once)
-    planes = factors["planes"].transpose(0, 3, 1, 2)  # [3, Kp, Rp, Rp]
+    # channel-major lanes: W[i][u, k*Rp + v] = P[i, u, v, k]
+    planes = (factors["planes"].transpose(0, 1, 3, 2)
+              .reshape(3, rp_pl, kp * rp_pl))
     plines = factors["plane_lines"]
+    grid_pl = npad // PLANE_TILE
     out_pl = pl.pallas_call(
         _make_fwd_planes_kernel(rp_pl, kp),
-        grid=(grid,),
+        grid=(grid_pl,),
         in_specs=[
-            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kp, rp_pl, rp_pl), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((3, PLANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rp_pl, kp * rp_pl), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, rp_pl, kp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, 3 * kp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((PLANE_TILE, 3 * kp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad, 3 * kp), lines.dtype),
         interpret=interpret,
@@ -247,35 +264,38 @@ def _bwd_impl(factors, pts, g, spec: MXGridSpec, interpret: bool):
     if kp == 0:
         return dlines
 
-    planes = factors["planes"].transpose(0, 3, 1, 2)  # [3, Kp, Rp, Rp]
+    planes = (factors["planes"].transpose(0, 1, 3, 2)
+              .reshape(3, rp_pl, kp * rp_pl))
     plines = factors["plane_lines"]
+    grid_pl = npad // PLANE_TILE
     dplanes, dplines = pl.pallas_call(
         _make_bwd_planes_kernel(rp_pl, kp),
-        grid=(grid,),
+        grid=(grid_pl,),
         in_specs=[
-            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, kp, rp_pl, rp_pl), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((3, PLANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rp_pl, kp * rp_pl), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, rp_pl, kp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 3 * kp), lambda i: (i, 0),
+            pl.BlockSpec((PLANE_TILE, 3 * kp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((3, kp, rp_pl, rp_pl), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((3, rp_pl, kp * rp_pl), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, rp_pl, kp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, kp, rp_pl, rp_pl), lines.dtype),
+            jax.ShapeDtypeStruct((3, rp_pl, kp * rp_pl), lines.dtype),
             jax.ShapeDtypeStruct((3, rp_pl, kp), lines.dtype),
         ),
         interpret=interpret,
     )(xt, planes, plines, g[:, k:])
     return {
         "lines": dlines,
-        "planes": dplanes.transpose(0, 2, 3, 1),
+        "planes": (dplanes.reshape(3, rp_pl, kp, rp_pl)
+                   .transpose(0, 1, 3, 2)),
         "plane_lines": dplines,
     }
 
