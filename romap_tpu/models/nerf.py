@@ -386,7 +386,11 @@ def density_on_grid(params, cfg: NerfConfig, spec, res: int) -> jax.Array:
     z, y, x = jnp.meshgrid(lin, lin, lin, indexing="ij")  # idx = x + y*res + z*res^2
     pts = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
     raw = field_apply(params, pts, cfg, spec)
-    return jnp.exp(raw[..., 3].astype(jnp.float32))
+    # same clipped exponential as the train/render path (ops/render.py:29-38)
+    # so mesh extraction sees the rendered density field, never inf.
+    from romap_tpu.ops.render import density_activation
+
+    return density_activation(raw[..., 3].astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("cfg", "spec"))

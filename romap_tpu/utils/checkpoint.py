@@ -15,12 +15,7 @@ from typing import Any
 import jax
 import numpy as np
 
-try:
-    import orbax.checkpoint as ocp
-
-    _HAVE_ORBAX = True
-except Exception:  # pragma: no cover - orbax is in the base image
-    _HAVE_ORBAX = False
+import orbax.checkpoint as ocp
 
 
 def save_checkpoint(path: str, state, objects=None, extra: dict | None = None) -> None:
@@ -32,12 +27,8 @@ def save_checkpoint(path: str, state, objects=None, extra: dict | None = None) -
     if objects is not None:
         payload["objects"] = objects._asdict()
     path = os.path.abspath(path)
-    if _HAVE_ORBAX:
-        ckpt = ocp.PyTreeCheckpointer()
-        ckpt.save(path, jax.tree.map(np.asarray, payload), force=True)
-    else:
-        flat, treedef = jax.tree.flatten(jax.tree.map(np.asarray, payload))
-        np.savez(path + ".npz", treedef=str(treedef), *flat)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, jax.tree.map(np.asarray, payload), force=True)
     if extra:
         with open(path + ".meta.json", "w") as f:
             json.dump(extra, f)
@@ -49,7 +40,7 @@ def load_checkpoint(path: str) -> dict[str, Any]:
     import json
 
     path = os.path.abspath(path)
-    if not (_HAVE_ORBAX and os.path.isdir(path)):
+    if not os.path.isdir(path):
         raise FileNotFoundError(path)
     ckpt = ocp.PyTreeCheckpointer()
     out = dict(ckpt.restore(path))
@@ -59,20 +50,38 @@ def load_checkpoint(path: str) -> dict[str, Any]:
     return out
 
 
+def _conform(raw, t):
+    """Rebuild orbax's plain dicts/lists into the structure of template node
+    `t`, matching by NAME (dict key / NamedTuple field) rather than leaf
+    order — orbax restores dicts key-sorted, which need not match the
+    template treedef's flatten order."""
+    if raw is None and not jax.tree.leaves(t):
+        return t  # orbax stores empty containers (e.g. optax EmptyState) as None
+    if isinstance(t, dict):
+        return {k: _conform(raw[k], v) for k, v in t.items()}
+    if hasattr(t, "_fields"):  # NamedTuple (TrainState, optax states)
+        if isinstance(raw, dict):
+            vals = [raw[f] for f in t._fields]
+        else:
+            vals = list(raw)
+        return type(t)(*(_conform(rv, tv) for rv, tv in zip(vals, t)))
+    if isinstance(t, (list, tuple)):
+        if isinstance(raw, dict):  # orbax may key sequences by stringed index
+            seq = [raw[str(i)] for i in range(len(t))]
+        else:
+            seq = list(raw)
+        items = [_conform(rv, tv) for rv, tv in zip(seq, t)]
+        return type(t)(items) if isinstance(t, list) else tuple(items)
+    return raw  # leaf
+
+
 def restore_train_state(raw_state: dict, template):
     """Rebuild a models.nerf.TrainState from a restored checkpoint dict.
 
-    orbax restores as plain dicts/lists, so the structure (NamedTuples,
-    optax states) is recovered by unflattening into `template`'s treedef —
-    pass a freshly-initialized TrainState of the same config/capacity.
+    Pass a freshly-initialized TrainState of the same config/capacity as
+    `template`; values are matched structurally by key/field name.
     """
-    fields = {}
-    for name in template._fields:  # per-field: dict key order != field order
-        sub_t = getattr(template, name)
-        fields[name] = jax.tree.unflatten(
-            jax.tree.structure(sub_t), jax.tree.leaves(raw_state[name])
-        )
-    return type(template)(**fields)
+    return _conform(raw_state, template)
 
 
 def restore_objects(raw_objects: dict):
