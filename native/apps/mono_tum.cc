@@ -166,7 +166,7 @@ int main(int argc, char** argv) {
                      std::max<size_t>(ds.stamps.size() / 2 + 8, 16));
     mgr->StartBackgroundTraining();
 
-    tracker.hooks.on_keyframe = [&](const Frame& f, const cv::Mat& rgb,
+    tracker.hooks.on_keyframe = [&](const KeyFrame& f, const cv::Mat& rgb,
                                     const cv::Mat& instance,
                                     const cv::Mat& sparse_depth) {
       int img_id = kf_serial++;
@@ -210,6 +210,29 @@ int main(int argc, char** argv) {
           }
           if (!boxes.empty() && nerf_idx.count(obj))
             mgr->UpdateNeRFBbox(nerf_idx[obj], boxes, /*train_step=*/1);
+        };
+    tracker.hooks.update_poses =
+        [&](const std::vector<std::pair<double, SE3>>& refined) {
+          // rewrite already-uploaded keyframe poses with the BA-refined ones
+          // (the frame store window is contiguous in upload serials)
+          std::vector<std::pair<int, SE3>> got;
+          for (const auto& [t, twc] : refined) {
+            auto it =
+                stamp_us_to_img.find(static_cast<long long>(t * 1e6));
+            if (it != stamp_us_to_img.end()) got.push_back({it->second, twc});
+          }
+          if (got.empty()) return;
+          std::sort(got.begin(), got.end(),
+                    [](const auto& a, const auto& b) { return a.first < b.first; });
+          size_t start = got.size() - 1;  // longest contiguous suffix
+          while (start > 0 && got[start - 1].first + 1 == got[start].first)
+            --start;
+          std::vector<monerf::Mat4> poses;
+          for (size_t i = start; i < got.size(); ++i)
+            poses.push_back(ToMat4(got[i].second));
+          mgr->UpdateDataset(
+              static_cast<unsigned>(got.back().first + 1),
+              static_cast<unsigned>(poses.size()), poses);
         };
   }
 

@@ -60,11 +60,19 @@ struct Detection {
 // Callbacks into the NeRF runtime (wired to monerf::NerfManagerOnline by the
 // System; null-able so SLAM runs standalone).
 struct NerfHooks {
-  std::function<void(const Frame&, const cv::Mat& rgb, const cv::Mat& instance,
-                     const cv::Mat& sparse_depth)> on_keyframe;
+  // Fires AFTER local BA refines the keyframe pose (ref LocalMapping.cc:
+  // 74-105 uploads post-BA), so the NeRF frame store never trains on a
+  // pre-BA pose.
+  std::function<void(const KeyFrame&, const cv::Mat& rgb,
+                     const cv::Mat& instance, const cv::Mat& sparse_depth)>
+      on_keyframe;
   std::function<int(ObjectMap*)> create_nerf;  // returns nerf index
   std::function<void(ObjectMap*, const std::vector<std::array<int64_t, 5>>&)>
       update_bboxes;  // rows: frame_idx, x, y, h, w
+  // Refined (timestamp, Twc) for every keyframe in the local-BA window —
+  // lets the runtime rewrite already-uploaded poses (ref UpdateDataset
+  // nerf_manager.cu:220-235 / nerf_data.cu:341-353).
+  std::function<void(const std::vector<std::pair<double, SE3>>&)> update_poses;
 };
 
 class Tracker {
@@ -103,7 +111,8 @@ class Tracker {
   void ObjectPipeline(const cv::Mat& instance);
   bool NeedKeyFrame() const;
   KeyFrame* MakeKeyFrame(const cv::Mat& rgb, const cv::Mat& instance);
-  void MappingStep(KeyFrame* kf);  // triangulate/cull/merge/NeRF
+  void MappingStep(KeyFrame* kf, const cv::Mat& rgb,
+                   const cv::Mat& instance);  // BA/upload/cull/merge/NeRF
   void TriggerNerf(KeyFrame* kf);
   cv::Mat SparseDepth(const KeyFrame& kf) const;
 

@@ -369,12 +369,11 @@ KeyFrame* Tracker::MakeKeyFrame(const cv::Mat& rgb, const cv::Mat& instance) {
       kf->points[i] = nullptr;
     }
   }
-  if (hooks.on_keyframe && !rgb.empty())
-    hooks.on_keyframe(cur_, rgb, instance, SparseDepth(*kf));
   return kf;
 }
 
-void Tracker::MappingStep(KeyFrame* kf) {
+void Tracker::MappingStep(KeyFrame* kf, const cv::Mat& rgb,
+                          const cv::Mat& instance) {
   // triangulate new points against recent keyframes
   // (ref LocalMapping::CreateNewMapPoints searches covisible neighbors)
   {
@@ -403,6 +402,7 @@ void Tracker::MappingStep(KeyFrame* kf) {
 
   // local bundle adjustment over the recent keyframe window
   // (ref Optimizer::LocalBundleAdjustment via LocalMapping.cc:93)
+  std::vector<KeyFrame*> ba_window;
   {
     auto all_kfs = map_.KeyFrames();
     size_t window = std::min<size_t>(all_kfs.size(), 10);
@@ -412,6 +412,7 @@ void Tracker::MappingStep(KeyFrame* kf) {
     if (local.size() > 2) fixed.insert(local[1]);
     BAStats s1 = LocalBundleAdjust(local, fixed, /*iters=*/4);
     BAStats s2 = LocalBundleAdjust(local, fixed, /*iters=*/3);  // post-strip
+    ba_window = local;
     if (std::getenv("ROMAP_SLAM_DEBUG")) {
       std::printf(
           "[BA kf=%ld] window=%zu pts=%d obs=%d rmse %.2f->%.2f | "
@@ -420,6 +421,21 @@ void Tracker::MappingStep(KeyFrame* kf) {
           s1.final_rmse_px, s2.n_points, s2.n_obs, s2.initial_rmse_px,
           s2.final_rmse_px, map_.Points().size());
     }
+  }
+
+  // Upload the keyframe to the NeRF runtime only now, with the BA-refined
+  // pose and BA-refined sparse depth (the reference's LocalMapping uploads
+  // after LocalBA for the same reason, ref LocalMapping.cc:74-105); then
+  // rewrite the rest of the BA window's already-uploaded poses.
+  cur_.tcw = kf->tcw;  // keep the tracker's view of this frame consistent
+  if (hooks.on_keyframe && !rgb.empty())
+    hooks.on_keyframe(*kf, rgb, instance, SparseDepth(*kf));
+  if (hooks.update_poses) {
+    std::vector<std::pair<double, SE3>> refined;
+    refined.reserve(ba_window.size());
+    for (KeyFrame* k : ba_window)
+      refined.push_back({k->timestamp, k->Twc()});
+    hooks.update_poses(refined);
   }
 
   // keyframe-side object updates (ref LocalMapping::UpdateObjSizeAndPose)
@@ -592,7 +608,7 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
   ++frames_since_kf_;
   if (NeedKeyFrame()) {
     KeyFrame* kf = MakeKeyFrame(rgb, instance);
-    MappingStep(kf);
+    MappingStep(kf, rgb, instance);
   }
   trajectory_.push_back({timestamp, cur_.tcw});
   last_ = cur_;

@@ -142,10 +142,10 @@ int main() {
       [&](ObjectMap*, const std::vector<std::array<int64_t, 5>>& rows) {
         bbox_pushes += static_cast<int>(rows.size());
       };
-  tracker.hooks.on_keyframe = [](const Frame&, const cv::Mat&, const cv::Mat&,
+  tracker.hooks.on_keyframe = [](const KeyFrame&, const cv::Mat&, const cv::Mat&,
                                  const cv::Mat&) {};
 
-  const int n_frames = 60;
+  const int n_frames = 90;  // long enough that the viewing-angle trigger is not marginal
   std::vector<SE3> gt, est;
   std::vector<int> est_idx;
   int tracked = 0;

@@ -47,9 +47,22 @@ class EncodingConfig:
     # capacity that rank-limited CP lines lack. 0 disables.
     mx_plane_res: int = 128
     mx_plane_features: int = 16
+    # Multi-level plane ladder ((res, feats), ...) — overrides the single
+    # mx_plane_res/mx_plane_features level when set. Multi-scale planes cost
+    # R^2*K per level, so e.g. ((64,8),(128,8)) has ~2.6x less compute than
+    # one (128,16) level at equal channel count.
+    mx_plane_specs: tuple[tuple[int, int], ...] | None = None
     # "auto": fused Pallas kernel on TPU, chunked XLA elsewhere;
     # "pallas" / "xla" force an implementation.
     mx_impl: str = "auto"
+
+    @property
+    def plane_specs(self) -> tuple[tuple[int, int], ...]:
+        if self.mx_plane_specs is not None:
+            return tuple(tuple(p) for p in self.mx_plane_specs)
+        if self.mx_plane_features > 0:
+            return ((self.mx_plane_res, self.mx_plane_features),)
+        return ()
 
     @property
     def per_level_scale(self) -> float:
@@ -64,7 +77,7 @@ class EncodingConfig:
     @property
     def n_output_dims(self) -> int:
         if self.kind == "mxgrid":
-            return self.mx_features + 3 * self.mx_plane_features
+            return self.mx_features + 3 * sum(k for _, k in self.plane_specs)
         return self.n_levels * self.n_features_per_level
 
 

@@ -59,8 +59,7 @@ def make_field_spec(cfg: NerfConfig):
             base_resolution=cfg.encoding.base_resolution,
             max_resolution=cfg.encoding.mx_max_resolution,
             features=cfg.encoding.mx_features,
-            plane_res=cfg.encoding.mx_plane_res,
-            plane_features=cfg.encoding.mx_plane_features,
+            plane_specs=cfg.encoding.plane_specs,
         )
     return hashgrid.make_spec(cfg.encoding)
 
@@ -78,9 +77,19 @@ def init_object_params(key: jax.Array, cfg: NerfConfig, spec):
     }
 
 
-def field_apply(params, points: jax.Array, cfg: NerfConfig, spec) -> jax.Array:
-    """points [..., 3] in [0,1]^3 -> raw (rgb logits, log-sigma) [..., 4]."""
-    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+def field_apply(
+    params, points: jax.Array, cfg: NerfConfig, spec, dtype=None
+) -> jax.Array:
+    """points [..., 3] in [0,1]^3 -> raw (rgb logits, log-sigma) [..., 4].
+
+    `dtype` overrides the compute dtype (params are stored fp32 and cast at
+    use); the render/mesh paths pass fp32 to match the reference's fp32
+    inference (ref nerf_model.cu:1795) while training runs the config dtype.
+    """
+    if dtype is None:
+        dtype = (
+            jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+        )
     table = jax.tree.map(lambda a: a.astype(dtype), params["table"])
     if isinstance(spec, mxgrid.MXGridSpec):
         impl = cfg.encoding.mx_impl
@@ -94,7 +103,8 @@ def field_apply(params, points: jax.Array, cfg: NerfConfig, spec) -> jax.Array:
             feats = mxgrid.encode(table, points, spec)
     else:
         feats = hashgrid.encode(table, points, spec)
-    return apply_mlp(params["mlp"], feats.astype(dtype), cfg.network)
+    mlp = jax.tree.map(lambda a: a.astype(dtype), params["mlp"])
+    return apply_mlp(mlp, feats.astype(dtype), cfg.network)
 
 
 class ObjectsState(NamedTuple):
@@ -371,7 +381,7 @@ def render_rays(
     """
     t = stratified_distances(tmin, tmax, jitter, n_samples)
     pts = warp_point(o[:, None, :] + t[..., None] * d[:, None, :], aabb_min, aabb_max)
-    raw = field_apply(params, pts, cfg, spec).astype(jnp.float32)
+    raw = field_apply(params, pts, cfg, spec, dtype=jnp.float32)
     out = volume_render(raw, t, jnp.full((3,), background, jnp.float32))
     return render_composite(out, d_norm, in_bbox, background)
 
@@ -385,7 +395,7 @@ def density_on_grid(params, cfg: NerfConfig, spec, res: int) -> jax.Array:
     lin = jnp.arange(res, dtype=jnp.float32) / (res - 1)
     z, y, x = jnp.meshgrid(lin, lin, lin, indexing="ij")  # idx = x + y*res + z*res^2
     pts = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
-    raw = field_apply(params, pts, cfg, spec)
+    raw = field_apply(params, pts, cfg, spec, dtype=jnp.float32)
     # same clipped exponential as the train/render path (ops/render.py:29-38)
     # so mesh extraction sees the rendered density field, never inf.
     from romap_tpu.ops.render import density_activation
@@ -397,5 +407,5 @@ def density_on_grid(params, cfg: NerfConfig, spec, res: int) -> jax.Array:
 def colors_at_points(params, pts: jax.Array, cfg: NerfConfig, spec) -> jax.Array:
     """RGB (logistic-activated) at warped points — mesh vertex colors
     (ref compute_mesh_vertex_colors nerf_model.cu:2045-2067)."""
-    raw = field_apply(params, pts, cfg, spec).astype(jnp.float32)
+    raw = field_apply(params, pts, cfg, spec, dtype=jnp.float32)
     return jax.nn.sigmoid(raw[..., :3])

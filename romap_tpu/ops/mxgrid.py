@@ -53,13 +53,19 @@ class MXGridSpec:
     # intermediate; the full [P, total_res] basis must never materialize)
     # VM (TensoRF-style) plane-x-line components: rank-limited CP lines
     # underfit full-rank 3D texture; 2D planes restore it, still gather-free
-    # (plane sampling = hat matmul + per-point contraction).
-    plane_res: int = 0  # 0 disables planes
-    plane_features: int = 0  # K_p per plane pair (3 pairs: xy, xz, yz)
+    # (plane sampling = hat matmul + per-point contraction). A LADDER of
+    # (resolution, channels) levels — multi-scale planes cost far less than
+    # one high-res plane of equal channel count (cost per point per plane
+    # pair is R^2 * Kp) and carry better multi-scale inductive bias.
+    plane_specs: tuple[tuple[int, int], ...] = ()  # ((res, feats), ...)
+
+    @property
+    def plane_out_dims(self) -> int:
+        return 3 * sum(k for _, k in self.plane_specs)
 
     @property
     def n_output_dims(self) -> int:
-        return self.features + 3 * self.plane_features
+        return self.features + self.plane_out_dims
 
 
 def make_mxspec(
@@ -70,6 +76,7 @@ def make_mxspec(
     chunk: int = 4096,
     plane_res: int = 0,
     plane_features: int = 0,
+    plane_specs: tuple[tuple[int, int], ...] | None = None,
 ) -> MXGridSpec:
     if n_levels > 1:
         b = (max_resolution / base_resolution) ** (1.0 / (n_levels - 1))
@@ -80,28 +87,38 @@ def make_mxspec(
     for r in res:
         offsets.append(off)
         off += r
+    if plane_specs is None:
+        plane_specs = ((plane_res, plane_features),) if plane_features > 0 else ()
     return MXGridSpec(
         resolutions=res, features=features, offsets=tuple(offsets), total_res=off,
-        chunk=chunk, plane_res=plane_res, plane_features=plane_features,
+        chunk=chunk, plane_specs=tuple(tuple(p) for p in plane_specs),
     )
 
 
 def init_mxgrid(key: jax.Array, spec: MXGridSpec, dtype=jnp.float32):
     """Parameters: CP factors W_d [3, total_res, K]; with planes enabled, a
-    dict {lines, planes [3, Rp, Rp, Kp], plane_lines [3, Rp, Kp]}.
+    dict {lines, planes: tuple of [3, R_l, R_l, K_l], plane_lines: tuple of
+    [3, R_l, K_l]} — one entry per plane-ladder level.
 
     Scale: a hat-basis row sums to 1, so A_d ~ N(0, ~0.6 sigma^2). sigma=0.3
     keeps the 3-way product ~ O(1e-2..1e-1) at init — small but alive.
     """
     k1, k2, k3 = jax.random.split(key, 3)
     lines = 0.3 * jax.random.normal(k1, (3, spec.total_res, spec.features), dtype)
-    if spec.plane_features == 0:
+    if not spec.plane_specs:
         return lines
-    rp, kp = spec.plane_res, spec.plane_features
+    kps = jax.random.split(k2, len(spec.plane_specs))
+    kls = jax.random.split(k3, len(spec.plane_specs))
     return {
         "lines": lines,
-        "planes": 0.3 * jax.random.normal(k2, (3, rp, rp, kp), dtype),
-        "plane_lines": 0.3 * jax.random.normal(k3, (3, rp, kp), dtype),
+        "planes": tuple(
+            0.3 * jax.random.normal(kp, (3, r, r, k), dtype)
+            for kp, (r, k) in zip(kps, spec.plane_specs)
+        ),
+        "plane_lines": tuple(
+            0.3 * jax.random.normal(kl, (3, r, k), dtype)
+            for kl, (r, k) in zip(kls, spec.plane_specs)
+        ),
     }
 
 
@@ -138,18 +155,18 @@ def _encode_chunk(factors, pts: jax.Array, spec: MXGridSpec) -> jax.Array:
 
     # VM components: bilinear plane sample x linear orthogonal-line sample,
     # all dense (hat matmul on the MXU + per-point contraction on the VPU)
-    rp, kp = spec.plane_res, spec.plane_features
     c = pts.shape[0]
     blocks = [out]
-    for i, (u, v, w) in enumerate(_PLANE_AXES):
-        hu = _hat1(pts[:, u], rp)  # [C, Rp]
-        hv = _hat1(pts[:, v], rp)
-        t = jnp.dot(hu, factors["planes"][i].reshape(rp, rp * kp),
-                    preferred_element_type=hu.dtype)  # [C, Rp*Kp]
-        f_pl = jnp.sum(t.reshape(c, rp, kp) * hv[:, :, None], axis=1)  # [C, Kp]
-        f_li = jnp.dot(_hat1(pts[:, w], rp), factors["plane_lines"][i],
-                       preferred_element_type=hu.dtype)  # [C, Kp]
-        blocks.append(f_pl * f_li)
+    for lvl, (rp, kp) in enumerate(spec.plane_specs):
+        for i, (u, v, w) in enumerate(_PLANE_AXES):
+            hu = _hat1(pts[:, u], rp)  # [C, Rp]
+            hv = _hat1(pts[:, v], rp)
+            t = jnp.dot(hu, factors["planes"][lvl][i].reshape(rp, rp * kp),
+                        preferred_element_type=hu.dtype)  # [C, Rp*Kp]
+            f_pl = jnp.sum(t.reshape(c, rp, kp) * hv[:, :, None], axis=1)  # [C, Kp]
+            f_li = jnp.dot(_hat1(pts[:, w], rp), factors["plane_lines"][lvl][i],
+                           preferred_element_type=hu.dtype)  # [C, Kp]
+            blocks.append(f_pl * f_li)
     return jnp.concatenate(blocks, axis=-1)
 
 

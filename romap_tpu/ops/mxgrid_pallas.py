@@ -3,27 +3,46 @@
 The XLA path (ops/mxgrid.py) materializes the [P, total_res] hat basis in
 HBM several times per step (fwd + checkpoint rebuild + dW consumption).
 These kernels build every basis tile-by-tile in VMEM and feed the MXU
-directly:
+directly.
 
-  forward (per tile of T points):
-    CP lines:  hat_d = relu(1 - |x_d * a - b|);  A_d = hat_d @ W_d (MXU)
-               out_cp = A_0 * A_1 * A_2
-    VM planes (TensoRF-style, per plane pair i = xy, xz, yz):
-               t    = hat_u @ P_i            (MXU, [T, Rp*Kp])
-               f_pl = sum_r t[:, r, :] * hat_v[:, r, None]
-               f_li = hat_w @ L_i
-               out_i = f_pl * f_li
-  backward: dW_d  = sum_tiles hat_d^T @ (g_cp * A_e * A_f)
-            dL_i  = sum_tiles hat_w^T @ (g_i * f_pl)
-            dP_i  = sum_tiles hat_u^T @ (hat_v[:, :, None] * (g_i*f_li)[:, None, :])
-            all accumulated across the sequential TPU grid. Points receive no
-            gradient — nothing in the training/render paths differentiates
-            sample positions (the reference's CUDA backward passes
-            dy_dx=nullptr the same way, ref nerf_model.cu:1604).
+LAYOUT: everything runs TRANSPOSED — points live in the LANE dimension,
+features/basis columns in sublanes. This is the load-bearing choice: the
+per-channel plane contraction (sum over the v axis within each channel
+block) becomes a reshape along the SUBLANE dim + reduce, which Mosaic
+executes natively. In the untransposed layout the same reduction needs
+either a lane-crossing reshape (slow vreg shuffles) or a block-indicator
+matmul whose tiny output width pads to 128 lanes and wastes ~8x MXU time —
+both measured slower on v5e.
 
-Per-column constants a (level scale R_l - 1) and b (in-level lattice index)
-turn the concatenated multi-level CP basis into ONE fused expression; columns
-padded to a lane multiple get a=0, b=2 so their hat value is exactly 0.
+  forward (per tile of T points, all transposed [*, T]):
+    CP lines:  hat_d = relu(1 - |a*x_d - b|)            [RP, T]  (VPU)
+               A_d   = W_d^T @ hat_d                     [K, T]   (MXU)
+               out_cp = A_0 * A_1 * A_2   (computed in XLA from saved A)
+    VM planes (TensoRF-style ladder, level l, plane pair i = xy, xz, yz;
+    planes stored channel-major [K_l*B, R_l], v padded to lane-block B):
+               t_i   = P_li @ hat_u                      [K_l*B, T] (MXU)
+               f_pl  = sum_v (t_i.reshape(K_l, B, T) * hat_v[None])  (VPU)
+               f_li  = L_li @ hat_w                      [K_l, T]  (MXU)
+               out_li = f_pl * f_li      (computed in XLA from saved f)
+  backward — CONSUMES the forward's saved activations (A, f_pl, f_li)
+    instead of recomputing them; only the cheap tent bases are rebuilt:
+            dW_d  = sum_tiles (g_cp * A_e * A_f) @ hat_d^T
+            dL_li = sum_tiles (g_li * f_pl) @ hat_w^T
+            dP_li = sum_tiles (bcast(g_li * f_li) * bcast(hat_v)) @ hat_u^T
+    All accumulation buffers are fp32 across the sequential TPU grid.
+    Points receive no gradient — nothing in the training/render paths
+    differentiates sample positions (the reference's CUDA backward passes
+    dy_dx=nullptr the same way, ref nerf_model.cu:1604).
+
+Mixed precision: tent bases are built in fp32 on the VPU and cast to the
+parameter dtype for the MXU matmuls; every dot accumulates in fp32
+(preferred_element_type). With bfloat16 parameters the matmuls run at the
+MXU's native bf16 rate — the reference's tcnn pipeline is fp16 with
+loss_scale 128 (ref nerf_model.h:166), so sub-fp32 matmul inputs are parity.
+
+Per-row constants a (level scale R_l - 1) and b (in-level lattice index)
+turn the concatenated multi-level CP basis into ONE fused expression; rows
+padded to a sublane multiple get a=0, b=2 so their hat value is exactly 0.
 """
 
 from __future__ import annotations
@@ -38,8 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from romap_tpu.ops.mxgrid import _PLANE_AXES, MXGridSpec
 
-TILE = 512  # CP-kernel tile (hat is [TILE, ~2304] fp32)
-PLANE_TILE = 256  # plane-kernel tile (plane stacks + wide intermediates)
+TILE = 512  # CP-kernel tile (hat is [~2304, TILE] fp32)
+PLANE_TILE = 512  # plane-kernel tile ([K*B, T] intermediates)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -48,131 +67,163 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.cache
 def _column_consts(spec: MXGridSpec) -> tuple[np.ndarray, np.ndarray, int]:
-    """Per-column (scale a, lattice index b), padded to a lane multiple."""
+    """Per-row (scale a, lattice index b), padded to a tile multiple."""
     rp = _round_up(spec.total_res, 128)
     a = np.zeros(rp, np.float32)
-    b = np.full(rp, 2.0, np.float32)  # pad columns: relu(1-|0*x-2|) == 0
+    b = np.full(rp, 2.0, np.float32)  # pad rows: relu(1-|0*x-2|) == 0
     for r, off in zip(spec.resolutions, spec.offsets):
         a[off : off + r] = r - 1
         b[off : off + r] = np.arange(r, dtype=np.float32)
     return a, b, rp
 
 
-def _hat(xd, a_ref, b_ref):
-    """[T] coords -> [T, RP] concatenated multi-level tent basis."""
-    return jnp.maximum(0.0, 1.0 - jnp.abs(xd[:, None] * a_ref[0, :] - b_ref[0, :]))
+def _hat_t(xd, a_ref, b_ref, dtype):
+    """[T] coords -> [RP, T] concatenated multi-level tent basis
+    (transposed: basis rows in sublanes, points in lanes)."""
+    h = jnp.maximum(0.0, 1.0 - jnp.abs(xd[None, :] * a_ref[:, :1] - b_ref[:, :1]))
+    return h.astype(dtype)
 
 
-def _hat1(xd, r: int):
-    """[T] coords -> [T, r] single-resolution tent basis."""
+def _hat1_t(xd, r: int, dtype, rows: int | None = None):
+    """[T] coords -> [rows, T] single-res tent basis at resolution r
+    (rows defaults to r; pad rows i >= r are exactly 0 since x <= r-1)."""
     xs = xd * (r - 1)
-    # Mosaic only lowers integer iota; convert after
-    i = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1).astype(jnp.float32)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - i))
+    i = jax.lax.broadcasted_iota(
+        jnp.int32, (rows if rows is not None else r, 1), 0
+    ).astype(jnp.float32)
+    h = jnp.maximum(0.0, 1.0 - jnp.abs(xs[None, :] - i))
+    return h.astype(dtype)
 
 
-def _cp_out(x_ref, a_ref, b_ref, w_ref):
-    acc = None
+def _plane_block(r: int) -> int:
+    """Per-channel v-block: r padded to a sublane-tile multiple so
+    [K*B, T] -> [K, B, T] reshapes never touch the minor (lane) dim."""
+    return _round_up(r, 128)
+
+
+def _dot_t(a, b):
+    """[M, T] x [N, T] -> [M, N] (contract the point/lane dim)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# --------------------------------------------------------------------------
+# CP-line kernels
+# --------------------------------------------------------------------------
+
+
+def _fwd_cp_kernel(x_ref, a_ref, b_ref, w_ref, afac_ref):
+    """Writes the three axis factors A_d = W_d^T @ hat_d (residuals for bwd;
+    the product A_0*A_1*A_2 is formed in XLA). w_ref is [3, K, RP]."""
+    mm = w_ref.dtype
     for d in range(3):
-        hat = _hat(x_ref[d, :], a_ref, b_ref)
-        ad = jnp.dot(hat, w_ref[d], preferred_element_type=jnp.float32)
-        acc = ad if acc is None else acc * ad
-    return acc
+        hat = _hat_t(x_ref[d, :], a_ref, b_ref, mm)  # [RP, T]
+        afac_ref[d] = jnp.dot(
+            w_ref[d], hat, preferred_element_type=jnp.float32
+        ).astype(afac_ref.dtype)
 
 
-def _fwd_kernel(x_ref, a_ref, b_ref, w_ref, out_ref):
-    out_ref[:] = _cp_out(x_ref, a_ref, b_ref, w_ref).astype(out_ref.dtype)
-
-
-def _block_indicator(rp: int, kp: int):
-    """[rp*kp, kp] 0/1 matrix: column k selects lane block k (the MXU stand-in
-    for the banned lane-crossing reshape [T, rp*kp] -> [T, rp, kp])."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (rp * kp, kp), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (rp * kp, kp), 1)
-    return (rows // rp == cols).astype(jnp.float32)
-
-
-def _tile_lanes(m, reps: int):
-    """[T, rp] -> [T, rp*reps] lane tiling via concatenation."""
-    return jnp.concatenate([m] * reps, axis=1)
-
-
-def _plane_feats(x_ref, planes_ref, plines_ref, i: int, rp: int, kp: int, t: int):
-    """Plane pair i, fully batched over channels: planes stored channel-major
-    along lanes ([rp, kp*rp], channel k in lane block k), the per-channel
-    weighted reduce becomes one matmul with a block-indicator matrix."""
-    u, v, w = _PLANE_AXES[i]
-    hu = _hat1(x_ref[u, :], rp)
-    hv = _hat1(x_ref[v, :], rp)
-    t_all = jnp.dot(hu, planes_ref[i], preferred_element_type=jnp.float32)
-    f_pl = jnp.dot(t_all * _tile_lanes(hv, kp), _block_indicator(rp, kp),
-                   preferred_element_type=jnp.float32)  # [T, Kp]
-    f_li = jnp.dot(_hat1(x_ref[w, :], rp), plines_ref[i],
-                   preferred_element_type=jnp.float32)
-    return hu, hv, f_pl, f_li
-
-
-def _make_fwd_planes_kernel(rp_pl: int, kp: int):
-    def kernel(x_ref, planes_ref, plines_ref, out_ref):
-        t = x_ref.shape[1]
-        for i in range(3):
-            _, _, f_pl, f_li = _plane_feats(x_ref, planes_ref, plines_ref, i,
-                                            rp_pl, kp, t)
-            out_ref[:, i * kp : (i + 1) * kp] = (
-                (f_pl * f_li).astype(out_ref.dtype))
-
-    return kernel
-
-
-def _bwd_lines_kernel(x_ref, a_ref, b_ref, w_ref, g_ref, dw_ref):
+def _bwd_cp_kernel(x_ref, a_ref, b_ref, afac_ref, g_ref, dw_ref):
+    """dW_d^T += (g * A_e * A_f) @ hat_d^T, fp32 accumulation across the
+    grid. Consumes the saved axis factors; only tent bases are rebuilt."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    a = []
+    mm = afac_ref.dtype
+    g = g_ref[:].astype(jnp.float32)  # [K, T]
+    a0 = afac_ref[0].astype(jnp.float32)
+    a1 = afac_ref[1].astype(jnp.float32)
+    a2 = afac_ref[2].astype(jnp.float32)
+    others = ((a1, a2), (a0, a2), (a0, a1))
     for d in range(3):
-        hat = _hat(x_ref[d, :], a_ref, b_ref)
-        a.append(jnp.dot(hat, w_ref[d], preferred_element_type=jnp.float32))
-    g = g_ref[:].astype(jnp.float32)
-    for d in range(3):
-        u = g * a[(d + 1) % 3] * a[(d + 2) % 3]  # [T, K]
-        hat = _hat(x_ref[d, :], a_ref, b_ref)  # rebuild (VMEM-frugal)
-        dw_ref[d] += jax.lax.dot_general(
-            hat, u, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dw_ref.dtype)
+        ae, af = others[d]
+        u = (g * ae * af).astype(mm)  # [K, T]
+        hat = _hat_t(x_ref[d, :], a_ref, b_ref, mm)  # [RP, T]
+        dw_ref[d] += _dot_t(u, hat)  # [K, RP]
 
 
-def _make_bwd_planes_kernel(rp_pl: int, kp: int):
-    def kernel(x_ref, planes_ref, plines_ref, g_ref, dplanes_ref, dplines_ref):
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            dplanes_ref[...] = jnp.zeros_like(dplanes_ref)
-            dplines_ref[...] = jnp.zeros_like(dplines_ref)
+# --------------------------------------------------------------------------
+# VM-plane kernels (ladder of (res, feats) levels, 3 plane pairs per level)
+# --------------------------------------------------------------------------
 
+
+def _make_fwd_planes_kernel(plane_specs):
+    n_lvl = len(plane_specs)
+
+    def kernel(x_ref, *refs):
+        planes_refs = refs[:n_lvl]  # each [3, Kp*B, R]
+        plines_refs = refs[n_lvl : 2 * n_lvl]  # each [3, Kp, R]
+        fpl_ref, fli_ref = refs[2 * n_lvl], refs[2 * n_lvl + 1]
+        mm = planes_refs[0].dtype
         t = x_ref.shape[1]
-        for i in range(3):
-            u, v, w = _PLANE_AXES[i]
-            hu, hv, f_pl, f_li = _plane_feats(x_ref, planes_ref, plines_ref, i,
-                                              rp_pl, kp, t)
-            gi = g_ref[:, i * kp : (i + 1) * kp].astype(jnp.float32)
-            hw = _hat1(x_ref[w, :], rp_pl)
-            dplines_ref[i] += jax.lax.dot_general(
-                hw, gi * f_pl, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dplines_ref.dtype)
-            gl = gi * f_li  # [T, Kp]
-            # broadcast each channel grad over its lane block, one matmul
-            gl_wide = jnp.dot(gl, _block_indicator(rp_pl, kp).T,
-                              preferred_element_type=jnp.float32)
-            dplanes_ref[i] += jax.lax.dot_general(
-                hu, _tile_lanes(hv, kp) * gl_wide, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dplanes_ref.dtype)
+        row = 0
+        for lvl, (rp, kp) in enumerate(plane_specs):
+            bb = _plane_block(rp)
+            for i, (u, v, w) in enumerate(_PLANE_AXES):
+                hu = _hat1_t(x_ref[u, :], rp, mm)  # [R, T]
+                hv = _hat1_t(x_ref[v, :], rp, jnp.float32, rows=bb)  # [B, T]
+                t_all = jnp.dot(
+                    planes_refs[lvl][i], hu, preferred_element_type=jnp.float32
+                )  # [Kp*B, T]
+                f_pl = jnp.sum(
+                    t_all.reshape(kp, bb, t) * hv[None], axis=1
+                )  # [Kp, T] — sublane-dim reduce, no lane crossing
+                f_li = jnp.dot(
+                    plines_refs[lvl][i], _hat1_t(x_ref[w, :], rp, mm),
+                    preferred_element_type=jnp.float32,
+                )  # [Kp, T]
+                fpl_ref[row : row + kp, :] = f_pl.astype(fpl_ref.dtype)
+                fli_ref[row : row + kp, :] = f_li.astype(fli_ref.dtype)
+                row += kp
 
     return kernel
 
 
-def _pad_and_tile(pts: jax.Array) -> tuple[jax.Array, int, int]:
+def _make_bwd_planes_kernel(plane_specs):
+    n_lvl = len(plane_specs)
+
+    def kernel(x_ref, fpl_ref, fli_ref, g_ref, *drefs):
+        dplanes_refs = drefs[:n_lvl]  # each [3, Kp*B, R]
+        dplines_refs = drefs[n_lvl:]  # each [3, Kp, R]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in drefs:
+                r[...] = jnp.zeros_like(r)
+
+        mm = fpl_ref.dtype
+        t = x_ref.shape[1]
+        row = 0
+        for lvl, (rp, kp) in enumerate(plane_specs):
+            bb = _plane_block(rp)
+            for i, (u, v, w) in enumerate(_PLANE_AXES):
+                gi = g_ref[row : row + kp, :].astype(jnp.float32)  # [Kp, T]
+                f_pl = fpl_ref[row : row + kp, :].astype(jnp.float32)
+                f_li = fli_ref[row : row + kp, :].astype(jnp.float32)
+                hu = _hat1_t(x_ref[u, :], rp, mm)
+                hv = _hat1_t(x_ref[v, :], rp, jnp.float32, rows=bb)
+                hw = _hat1_t(x_ref[w, :], rp, mm)
+                dplines_refs[lvl][i] += _dot_t((gi * f_pl).astype(mm), hw)
+                # d t_all[k*B+v, t] = hv[v, t] * (gi * f_li)[k, t]
+                prod = (
+                    (gi * f_li)[:, None, :] * hv[None]
+                ).reshape(kp * bb, t)  # sublane-dim reshape only
+                dplanes_refs[lvl][i] += _dot_t(prod.astype(mm), hu)
+                row += kp
+
+    return kernel
+
+
+# --------------------------------------------------------------------------
+# Host-side drivers
+# --------------------------------------------------------------------------
+
+
+def _pad_and_tile(pts: jax.Array, tile: int) -> tuple[jax.Array, int, int]:
     n = pts.shape[0]
-    npad = _round_up(max(n, TILE), TILE)
+    npad = _round_up(max(n, tile), tile)
     pts = jnp.pad(pts, ((0, npad - n), (0, 0)))
     return pts.T, n, npad  # [3, npad]
 
@@ -181,122 +232,157 @@ def _lines_of(factors):
     return factors["lines"] if isinstance(factors, dict) else factors
 
 
-def _fwd_impl(factors, pts, spec: MXGridSpec, interpret: bool):
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _planes_t(factors, spec: MXGridSpec):
+    """Plane params [3, R, R, K] -> transposed channel-major [3, K*B, R]
+    (stored[i, k*B + v, u] = P[i, u, v, k], v padded to B)."""
+    out = []
+    for p, (r, k) in zip(factors["planes"], spec.plane_specs):
+        bb = _plane_block(r)
+        q = p.transpose(0, 3, 2, 1)  # [3, K, V, U]
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, bb - r), (0, 0)))
+        out.append(q.reshape(3, k * bb, r))
+    return out
+
+
+def _cp_forward(factors, xt, npad, spec: MXGridSpec, interpret: bool):
+    """Returns the stacked axis factors A [3, K, npad] (param dtype)."""
     a, b, rp = _column_consts(spec)
     k = spec.features
-    kp = spec.plane_features
-    rp_pl = spec.plane_res
-    xt, n, npad = _pad_and_tile(pts)
     lines = _lines_of(factors)
-    w = jnp.pad(lines, ((0, 0), (0, rp - spec.total_res), (0, 0)))
+    w_t = jnp.pad(lines, ((0, 0), (0, rp - spec.total_res), (0, 0))).transpose(
+        0, 2, 1
+    )  # [3, K, RP]
     grid = npad // TILE
-
-    common_specs = [
-        pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, rp, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-    ]
-    out_cp = pl.pallas_call(
-        _fwd_kernel,
-        grid=(grid,),
-        in_specs=common_specs,
-        out_specs=pl.BlockSpec((TILE, k), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, k), lines.dtype),
-        interpret=interpret,
-    )(xt, a[None, :], b[None, :], w)
-    if kp == 0:
-        return out_cp[:n]
-
-    # planes in a separate kernel: the combined version exceeds the 16 MB
-    # VMEM budget (hat tiles + line table + plane stacks at once)
-    # channel-major lanes: W[i][u, k*Rp + v] = P[i, u, v, k]
-    planes = (factors["planes"].transpose(0, 1, 3, 2)
-              .reshape(3, rp_pl, kp * rp_pl))
-    plines = factors["plane_lines"]
-    grid_pl = npad // PLANE_TILE
-    out_pl = pl.pallas_call(
-        _make_fwd_planes_kernel(rp_pl, kp),
-        grid=(grid_pl,),
-        in_specs=[
-            pl.BlockSpec((3, PLANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, rp_pl, kp * rp_pl), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, rp_pl, kp), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((PLANE_TILE, 3 * kp), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, 3 * kp), lines.dtype),
-        interpret=interpret,
-    )(xt, planes, plines)
-    return jnp.concatenate([out_cp[:n], out_pl[:n]], axis=-1)
-
-
-def _bwd_impl(factors, pts, g, spec: MXGridSpec, interpret: bool):
-    a, b, rp = _column_consts(spec)
-    k = spec.features
-    kp = spec.plane_features
-    rp_pl = spec.plane_res
-    xt, n, npad = _pad_and_tile(pts)
-    g = jnp.pad(g, ((0, npad - n), (0, 0)))
-    lines = _lines_of(factors)
-    w = jnp.pad(lines, ((0, 0), (0, rp - spec.total_res), (0, 0)))
-    grid = npad // TILE
-
-    dw = pl.pallas_call(
-        _bwd_lines_kernel,
+    return pl.pallas_call(
+        _fwd_cp_kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, rp, k), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _const_spec((rp, 1)),
+            _const_spec((rp, 1)),
+            _const_spec((3, k, rp)),
         ],
-        out_specs=pl.BlockSpec((3, rp, k), lambda i: (0, 0, 0),
+        out_specs=pl.BlockSpec((3, k, TILE), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, rp, k), lines.dtype),
+        out_shape=jax.ShapeDtypeStruct((3, k, npad), lines.dtype),
         interpret=interpret,
-    )(xt, a[None, :], b[None, :], w, g[:, :k])
-    dlines = dw[:, : spec.total_res, :]
-    if kp == 0:
+    )(xt, a[:, None], b[:, None], w_t)
+
+
+def _planes_forward(factors, xt, npad, spec: MXGridSpec, interpret: bool):
+    """Returns (f_pl, f_li), each [3*sum(Kp_l), npad] (param dtype)."""
+    dtype = _lines_of(factors).dtype
+    kout = spec.plane_out_dims
+    grid = npad // PLANE_TILE
+    planes = _planes_t(factors, spec)
+    plines = [p.transpose(0, 2, 1) for p in factors["plane_lines"]]  # [3,K,R]
+    in_specs = [pl.BlockSpec((3, PLANE_TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [_const_spec(p.shape) for p in planes]
+    in_specs += [_const_spec(p.shape) for p in plines]
+    out_spec = pl.BlockSpec((kout, PLANE_TILE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_fwd_planes_kernel(spec.plane_specs),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((kout, npad), dtype),
+            jax.ShapeDtypeStruct((kout, npad), dtype),
+        ),
+        interpret=interpret,
+    )(xt, *planes, *plines)
+
+
+def _fwd_impl(factors, pts, spec: MXGridSpec, interpret: bool):
+    xt, n, npad = _pad_and_tile(pts, TILE)
+    afac = _cp_forward(factors, xt, npad, spec, interpret)
+    out_cp = afac[0] * afac[1] * afac[2]  # [K, npad]
+    if not spec.plane_specs:
+        return out_cp.T[:n], (afac, None, None)
+    xt_pl, _, npad_pl = _pad_and_tile(pts, PLANE_TILE)
+    fpl, fli = _planes_forward(factors, xt_pl, npad_pl, spec, interpret)
+    out = jnp.concatenate(
+        [out_cp[:, :n], (fpl * fli)[:, :n]], axis=0
+    ).T  # one [kout, P] -> [P, kout] transpose in XLA
+    return out, (afac, fpl, fli)
+
+
+def _bwd_impl(factors, pts, res, g, spec: MXGridSpec, interpret: bool):
+    afac, fpl, fli = res
+    a, b, rp = _column_consts(spec)
+    k = spec.features
+    xt, n, npad = _pad_and_tile(pts, TILE)
+    g_t = jnp.pad(g, ((0, npad - n), (0, 0))).T  # [kout, npad]
+    lines = _lines_of(factors)
+    grid = npad // TILE
+
+    dw_t = pl.pallas_call(
+        _bwd_cp_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            _const_spec((rp, 1)),
+            _const_spec((rp, 1)),
+            pl.BlockSpec((3, k, TILE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=_const_spec((3, k, rp)),
+        out_shape=jax.ShapeDtypeStruct((3, k, rp), jnp.float32),
+        interpret=interpret,
+    )(xt, a[:, None], b[:, None], afac, g_t[:k])
+    dlines = dw_t.transpose(0, 2, 1)[:, : spec.total_res, :].astype(lines.dtype)
+    if not spec.plane_specs:
         return dlines
 
-    planes = (factors["planes"].transpose(0, 1, 3, 2)
-              .reshape(3, rp_pl, kp * rp_pl))
-    plines = factors["plane_lines"]
-    grid_pl = npad // PLANE_TILE
-    dplanes, dplines = pl.pallas_call(
-        _make_bwd_planes_kernel(rp_pl, kp),
+    xt_pl, _, npad_pl = _pad_and_tile(pts, PLANE_TILE)
+    g_pl = jnp.pad(g[:, k:], ((0, npad_pl - n), (0, 0))).T  # [kout_pl, npad]
+    kout = spec.plane_out_dims
+    grid_pl = npad_pl // PLANE_TILE
+    tile_spec = pl.BlockSpec((kout, PLANE_TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    dplane_shapes = [
+        jax.ShapeDtypeStruct((3, kk * _plane_block(r), r), jnp.float32)
+        for r, kk in spec.plane_specs
+    ]
+    dpline_shapes = [
+        jax.ShapeDtypeStruct((3, kk, r), jnp.float32)
+        for r, kk in spec.plane_specs
+    ]
+    outs = pl.pallas_call(
+        _make_bwd_planes_kernel(spec.plane_specs),
         grid=(grid_pl,),
         in_specs=[
-            pl.BlockSpec((3, PLANE_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, rp_pl, kp * rp_pl), lambda i: (0, 0, 0),
+            pl.BlockSpec((3, PLANE_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, rp_pl, kp), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((PLANE_TILE, 3 * kp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec, tile_spec,
         ],
-        out_specs=(
-            pl.BlockSpec((3, rp_pl, kp * rp_pl), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, rp_pl, kp), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            _const_spec(s.shape) for s in dplane_shapes + dpline_shapes
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, rp_pl, kp * rp_pl), lines.dtype),
-            jax.ShapeDtypeStruct((3, rp_pl, kp), lines.dtype),
-        ),
+        out_shape=tuple(dplane_shapes + dpline_shapes),
         interpret=interpret,
-    )(xt, planes, plines, g[:, k:])
+    )(xt_pl, fpl, fli, g_pl)
+    n_lvl = len(spec.plane_specs)
+    dt = lines.dtype
     return {
         "lines": dlines,
-        "planes": (dplanes.reshape(3, rp_pl, kp, rp_pl)
-                   .transpose(0, 1, 3, 2)),
-        "plane_lines": dplines,
+        # [3, K*B, R] -> [3, K, B, R] -> drop v pad -> [3, R(u), R(v), K]
+        "planes": tuple(
+            outs[l].reshape(3, kk, _plane_block(r), r)[:, :, :r, :]
+            .transpose(0, 3, 2, 1).astype(dt)
+            for l, (r, kk) in enumerate(spec.plane_specs)
+        ),
+        "plane_lines": tuple(
+            outs[n_lvl + l].transpose(0, 2, 1).astype(dt) for l in range(n_lvl)
+        ),
     }
 
 
@@ -305,16 +391,18 @@ def encode_pallas(factors, pts, spec: MXGridSpec, interpret: bool = False):
     """[P, 3] points -> [P, n_output_dims]. Gradient flows to `factors` only
     (points get zeros — nothing in this framework differentiates sample
     positions)."""
-    return _fwd_impl(factors, pts, spec, interpret)
+    out, _ = _fwd_impl(factors, pts, spec, interpret)
+    return out
 
 
 def _vjp_fwd(factors, pts, spec, interpret):
-    return _fwd_impl(factors, pts, spec, interpret), (factors, pts)
+    out, res = _fwd_impl(factors, pts, spec, interpret)
+    return out, (factors, pts, res)
 
 
-def _vjp_bwd(spec, interpret, res, g):
-    factors, pts = res
-    dw = _bwd_impl(factors, pts, g, spec, interpret)
+def _vjp_bwd(spec, interpret, saved, g):
+    factors, pts, res = saved
+    dw = _bwd_impl(factors, pts, res, g, spec, interpret)
     return dw, jnp.zeros_like(pts)
 
 
@@ -325,6 +413,6 @@ def encode(factors, p: jax.Array, spec: MXGridSpec,
            interpret: bool = False) -> jax.Array:
     """Drop-in for mxgrid.encode with arbitrary batch shape."""
     batch_shape = p.shape[:-1]
-    pts = p.reshape(-1, 3).astype(_lines_of(factors).dtype)
+    pts = p.reshape(-1, 3).astype(jnp.float32)
     out = encode_pallas(factors, pts, spec, interpret)
     return out.reshape(*batch_shape, spec.n_output_dims)

@@ -77,6 +77,13 @@ class NerfManagerOnline:
         self.state: nerf.TrainState | None = None
 
         self._lock = threading.RLock()
+        # train_objects DONATES its state argument: while a wave is in
+        # flight the buffers behind self.state are dead. Every consumer of
+        # self.state (grow, losses, mesh/render snapshots, the final train)
+        # must wait for _train_busy to clear; pump() sets it around the
+        # un-locked device step and publishes the result under the lock.
+        self._cond = threading.Condition(self._lock)
+        self._train_busy = False
         self._n_objects = 0
         self._classes: list[int] = []
         self._pending_waves = np.zeros(capacity, np.int64)
@@ -145,9 +152,17 @@ class NerfManagerOnline:
             self._objs["active"][idx] = False
             return idx
 
+    def _wait_idle_locked(self) -> None:
+        """Block (lock held via the condition) until no wave is in flight."""
+        while self._train_busy:
+            self._cond.wait()
+
     def _grow(self) -> None:
         """Double the slot capacity (re-inits padding params; recompile on
-        next pump — the batched analog of spawning more threads)."""
+        next pump — the batched analog of spawning more threads). Caller
+        holds the lock; waits out any in-flight wave so the concatenation
+        never touches donated buffers."""
+        self._wait_idle_locked()
         old_cap, new_cap = self.capacity, self.capacity * 2
         for k, v in self._objs.items():
             pad = np.zeros((new_cap - old_cap,) + v.shape[1:], v.dtype)
@@ -208,23 +223,33 @@ class NerfManagerOnline:
         of NeRF::TrainOnline batched across slots."""
         waves_run = 0
         while max_waves is None or waves_run < max_waves:
-            with self._lock:
+            with self._cond:
+                self._wait_idle_locked()  # serialize concurrent pumps
                 mask = self._trainable()
                 if not mask.any():
                     break
                 objs = self._objects_state(mask)
                 frames = self.store.arrays()
                 state = self.state
-            state = nerf.train_objects(
-                state, objs, frames, self.cfg, self.spec,
-                self.iters_per_wave, self.use_depth,
-            )
-            jax.device_get(state.loss)  # sync (relay-safe barrier)
-            with self._lock:
+                self._train_busy = True
+            try:
+                state = nerf.train_objects(
+                    state, objs, frames, self.cfg, self.spec,
+                    self.iters_per_wave, self.use_depth,
+                )
+                jax.device_get(state.loss)  # sync (relay-safe barrier)
+            except BaseException:
+                with self._cond:
+                    self._train_busy = False
+                    self._cond.notify_all()
+                raise
+            with self._cond:
                 self.state = state
                 self._pending_waves[mask] -= 1
                 self._wave_count[mask] += 1
                 mesh_due = mask & (self._wave_count % self.mesh_every_waves == 0)
+                self._train_busy = False
+                self._cond.notify_all()
             if self.mesh_enabled:
                 for oi in np.nonzero(mesh_due)[0]:
                     self._extract_mesh(int(oi))
@@ -232,7 +257,11 @@ class NerfManagerOnline:
         return waves_run
 
     def _extract_mesh(self, oi: int) -> None:
-        params = jax.tree.map(lambda a: a[oi], self.state.ema)
+        with self._cond:
+            self._wait_idle_locked()
+            # dispatch the slice while holding the lock: ops dispatched here
+            # are ordered before any later donating wave
+            params = jax.tree.map(lambda a: a[oi], self.state.ema)
         mesh = artifacts.extract_object_mesh(
             params, self._objs["aabb_min"][oi], self._objs["aabb_max"][oi],
             self.cfg, self.spec,
@@ -264,18 +293,19 @@ class NerfManagerOnline:
             self._thread.join()
             self._thread = None
         self.pump()  # drain
-        with self._lock:
+        with self._cond:
+            self._wait_idle_locked()
             mask = self._objs["n_bbox"] > MIN_BBOXES_TO_TRAIN
-        if mask.any():
-            objs = self._objects_state(mask)
-            self.state = nerf.train_objects(
-                self.state, objs, self.store.arrays(), self.cfg, self.spec,
-                self.iters_per_wave, self.use_depth,
-            )
-            jax.device_get(self.state.loss)
-            if self.mesh_enabled:
-                for oi in np.nonzero(mask)[0]:
-                    self._extract_mesh(int(oi))
+            if mask.any():
+                objs = self._objects_state(mask)
+                self.state = nerf.train_objects(
+                    self.state, objs, self.store.arrays(), self.cfg, self.spec,
+                    self.iters_per_wave, self.use_depth,
+                )
+                jax.device_get(self.state.loss)
+        if mask.any() and self.mesh_enabled:
+            for oi in np.nonzero(mask)[0]:
+                self._extract_mesh(int(oi))
         print("All NeRF slots completed ...")
 
     # ------------------------------------------------------------ inference
@@ -285,12 +315,16 @@ class NerfManagerOnline:
             return self._meshes.get(idx)
 
     def losses(self) -> np.ndarray:
-        return np.asarray(jax.device_get(self.state.loss))[: self._n_objects]
+        with self._cond:
+            self._wait_idle_locked()
+            return np.asarray(jax.device_get(self.state.loss))[: self._n_objects]
 
     def render_nerfs_test(self, out_path: str, idx: int, stamps, boxes, twcs,
                           radius: float, video: bool = True) -> None:
         """ref RenderNeRFsTest nerf_manager.cu:280-285 -> RenderTestImg."""
-        params = jax.tree.map(lambda a: a[idx], self.state.ema)
+        with self._cond:
+            self._wait_idle_locked()
+            params = jax.tree.map(lambda a: a[idx], self.state.ema)
         test_views = [
             dict(stamp=s, twc=np.asarray(t, np.float32),
                  box=tuple(int(v) for v in b))

@@ -78,3 +78,57 @@ def test_vm_planes_forward_and_grad_match_xla():
     for k in ("lines", "planes", "plane_lines"):
         np.testing.assert_allclose(np.asarray(g_pl[k]), np.asarray(g_xla[k]),
                                    rtol=1e-3, atol=1e-3, err_msg=k)
+
+
+def test_plane_ladder_forward_and_grad_match_xla():
+    """Multi-level plane ladder ((res, feats), ...) — pallas vs XLA."""
+    s = mxgrid.make_mxspec(n_levels=2, base_resolution=4, max_resolution=16,
+                           features=8, plane_specs=((8, 4), (24, 8)))
+    factors = mxgrid.init_mxgrid(jax.random.PRNGKey(3), s)
+    assert s.n_output_dims == 8 + 3 * (4 + 8)
+    pts = jnp.asarray(RNG.uniform(0, 1, (530, 3)), jnp.float32)
+    want = np.asarray(mxgrid.encode(factors, pts, s))
+    got = np.asarray(mxgrid_pallas.encode(factors, pts, s, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+    tgt = jnp.asarray(RNG.normal(size=(530, s.n_output_dims)), jnp.float32)
+
+    def loss(enc):
+        return lambda f: jnp.sum((enc(f) - tgt) ** 2)
+
+    g_xla = jax.grad(loss(lambda f: mxgrid.encode(f, pts, s)))(factors)
+    g_pl = jax.grad(loss(lambda f: mxgrid_pallas.encode(f, pts, s, interpret=True)))(factors)
+    np.testing.assert_allclose(np.asarray(g_pl["lines"]), np.asarray(g_xla["lines"]),
+                               rtol=1e-3, atol=1e-3)
+    for lvl in range(2):
+        np.testing.assert_allclose(np.asarray(g_pl["planes"][lvl]),
+                                   np.asarray(g_xla["planes"][lvl]),
+                                   rtol=1e-3, atol=1e-3, err_msg=f"planes[{lvl}]")
+        np.testing.assert_allclose(np.asarray(g_pl["plane_lines"][lvl]),
+                                   np.asarray(g_xla["plane_lines"][lvl]),
+                                   rtol=1e-3, atol=1e-3, err_msg=f"plane_lines[{lvl}]")
+
+
+def test_bfloat16_forward_and_grad_close_to_fp32():
+    """bf16 matmul inputs with fp32 accumulation: close to the fp32 result
+    (tolerance set by bf16's 8-bit mantissa; the reference trains fp16)."""
+    s = mxgrid.make_mxspec(n_levels=3, base_resolution=4, max_resolution=32,
+                           features=16, plane_specs=((16, 8),))
+    f32 = mxgrid.init_mxgrid(jax.random.PRNGKey(9), s)
+    f16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), f32)
+    pts = jnp.asarray(RNG.uniform(0, 1, (520, 3)), jnp.float32)
+    want = np.asarray(mxgrid.encode(f32, pts, s))
+    got = np.asarray(mxgrid_pallas.encode(f16, pts, s, interpret=True),
+                     dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+    tgt = jnp.asarray(RNG.normal(size=(520, s.n_output_dims)), jnp.float32)
+    g32 = jax.grad(lambda f: jnp.sum((mxgrid.encode(f, pts, s) - tgt) ** 2))(f32)
+    g16 = jax.grad(lambda f: jnp.sum(
+        (mxgrid_pallas.encode(f, pts, s, interpret=True).astype(jnp.float32)
+         - tgt) ** 2))(f16)
+    for a, b in zip(jax.tree.leaves(g16), jax.tree.leaves(g32)):
+        a = np.asarray(a, dtype=np.float32)
+        b = np.asarray(b)
+        denom = np.maximum(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / denom < 0.1

@@ -168,3 +168,40 @@ def test_background_pump_thread():
     mgr.wait_threads_end()
     assert int(np.asarray(mgr.state.step)[idx]) >= 10
     assert np.isfinite(mgr.losses()).all()
+
+
+def test_concurrent_grow_during_background_training():
+    """create_nerf that triggers _grow while the background pump has a wave
+    in flight must not desynchronize _objs capacity from the TrainState
+    (pump would otherwise publish its pre-grow state over the grown one —
+    ADVICE r1 high)."""
+    cam, objects, frames = make_world(n_objects=3)
+    mgr = NerfManagerOnline(tiny_cfg(), train_step_iterations=3, capacity=1,
+                            mesh_enabled=False)
+    mgr.dataset_init(cam.fx, cam.fy, cam.cx, cam.cy, cam.h, cam.w, len(frames))
+    for fi, f in enumerate(frames):
+        mgr.new_frame_to_dataset(fi, f["stamp"], f["rgb"], f["instance"],
+                                 pose=f["twc"])
+    mgr.start()
+    try:
+        idxs = []
+        for obj in objects:  # grows 1 -> 2 -> 4 while waves run
+            tow = np.eye(4, dtype=np.float32)
+            tow[:3, 3] = -obj.center
+            half = obj.aabb_half_extents()
+            idx = mgr.create_nerf(int(obj.instance_id), tow, -half, half)
+            idxs.append(idx)
+            rows = [(fi, *f["bboxes"][obj.instance_id])
+                    for fi, f in enumerate(frames)
+                    if f["bboxes"][obj.instance_id] is not None]
+            mgr.update_nerf_bbox(idx, rows, 2)
+            mgr.losses()  # concurrent state reader mid-wave
+    finally:
+        mgr.wait_threads_end()
+    assert mgr.capacity >= 3
+    # state capacity tracks the grown slot table
+    assert mgr.state.loss.shape[0] == mgr.capacity
+    losses = mgr.losses()
+    assert len(losses) == 3 and np.isfinite(losses).all()
+    # every slot actually trained
+    assert all(int(mgr.state.step[i]) > 0 for i in idxs)
