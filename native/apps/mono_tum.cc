@@ -12,7 +12,9 @@
 #include <cmath>
 #include <cstdio>
 #include <fstream>
+#include <algorithm>
 #include <map>
+#include <set>
 #include <sstream>
 #include <string>
 #include <vector>
@@ -32,6 +34,23 @@ struct DatasetConfig {
   int h = 0, w = 0;
   std::vector<std::string> stamps;
   std::vector<std::string> names;
+  // RO-MAP knobs (full key parity with ref src/Tracking.cc:139-195 and
+  // src/System.cc:120-126); defaults match the rebuilt pipeline's.
+  int orb_features = 2000;       // ORBextractor.nFeatures
+  bool extend_box = false;       // ExtendBox: inflate detections by 10 px
+  bool check_box_edge = true;    // CheckBoxEdge
+  std::set<int> ignore_category; // IgnoreCategory
+  int box_map_points = 10;       // BoxMapPoints
+  int min_continue_obs = 3;      // Minimum.continue.obs
+  float add_mps_dist = 2.0f;     // Add.MPs.distance.multiple
+  float merge_mps_dist = 3.0f;   // Merge.MPs.distance.multiple
+  bool merge_diff_class = false; // Merge.Different.class
+  float eif_threshold = 0.58f;   // EIFthreshold
+  bool check_mps_obs = false;    // CheckMPsObs
+  int eif_obs_numbers = 10;      // EIFObsNumbers
+  float nerf_angle_change = 0.05f;  // NeRF.AngleChange
+  bool use_sparse_depth = false;    // NeRF.UseSparseDepth
+  int train_step_iterations = 100;  // NeRF.TrainStepIterations
 };
 
 DatasetConfig ReadDataset(const std::string& root) {
@@ -53,6 +72,34 @@ DatasetConfig ReadDataset(const std::string& root) {
     else if (key == "Camera.cy:") out.cy = val();
     else if (key == "Camera.H:") out.h = static_cast<int>(val());
     else if (key == "Camera.W:") out.w = static_cast<int>(val());
+    else if (key == "ORBextractor.nFeatures:") out.orb_features = (int)val();
+    else if (key == "ExtendBox:") out.extend_box = val() != 0;
+    else if (key == "CheckBoxEdge:") out.check_box_edge = val() != 0;
+    else if (key == "IgnoreCategory:") {  // inline list: [41, 73] or 41 73
+      std::string rest;
+      std::getline(s, rest);
+      std::stringstream rs(rest);
+      std::string tok;
+      while (rs >> tok) {
+        tok.erase(std::remove_if(tok.begin(), tok.end(),
+                                 [](char c) { return c == '[' || c == ']' ||
+                                              c == ','; }),
+                  tok.end());
+        if (!tok.empty()) out.ignore_category.insert(std::atoi(tok.c_str()));
+      }
+    }
+    else if (key == "BoxMapPoints:") out.box_map_points = (int)val();
+    else if (key == "Minimum.continue.obs:") out.min_continue_obs = (int)val();
+    else if (key == "Add.MPs.distance.multiple:") out.add_mps_dist = val();
+    else if (key == "Merge.MPs.distance.multiple:") out.merge_mps_dist = val();
+    else if (key == "Merge.Different.class:") out.merge_diff_class = val() != 0;
+    else if (key == "EIFthreshold:") out.eif_threshold = val();
+    else if (key == "CheckMPsObs:") out.check_mps_obs = val() != 0;
+    else if (key == "EIFObsNumbers:") out.eif_obs_numbers = (int)val();
+    else if (key == "NeRF.AngleChange:") out.nerf_angle_change = val();
+    else if (key == "NeRF.UseSparseDepth:") out.use_sparse_depth = val() != 0;
+    else if (key == "NeRF.TrainStepIterations:")
+      out.train_step_iterations = (int)val();
   }
   std::ifstream imgs(root + "/img.txt");
   while (std::getline(imgs, line)) {
@@ -66,7 +113,8 @@ DatasetConfig ReadDataset(const std::string& root) {
   return out;
 }
 
-std::vector<Detection> ReadBboxFile(const std::string& path) {
+std::vector<Detection> ReadBboxFile(const std::string& path,
+                                    const DatasetConfig& ds) {
   std::vector<Detection> out;
   std::ifstream f(path);
   std::string line;
@@ -76,7 +124,14 @@ std::vector<Detection> ReadBboxFile(const std::string& path) {
     if (!(s >> cls >> x >> y >> w >> h)) continue;
     s >> conf;
     Detection d;
-    d.rect = {x, y, w, h};
+    if (ds.extend_box) {
+      // ref Tracking.cc:370-377: inflate each detection by 10 px per side
+      float nx = std::max(0.f, x - 10), ny = std::max(0.f, y - 10);
+      d.rect = {nx, ny, std::min(static_cast<float>(ds.w - 1) - nx, w + 20),
+                std::min(static_cast<float>(ds.h - 1) - ny, h + 20)};
+    } else {
+      d.rect = {x, y, w, h};
+    }
     d.cls = static_cast<int>(cls);
     d.confidence = conf;
     out.push_back(d);
@@ -146,11 +201,23 @@ int main(int argc, char** argv) {
   TrackingConfig cfg;
   cfg.cam = {ds.fx, ds.fy, ds.cx, ds.cy,
              0, 0, static_cast<float>(ds.w), static_cast<float>(ds.h)};
-  cfg.n_features = 2000;
+  cfg.n_features = ds.orb_features;
   cfg.max_frames_between_kf = 5;
-  cfg.nerf_angle_change = 0.05f;
+  cfg.nerf_angle_change = ds.nerf_angle_change;
   cfg.min_bboxes_for_nerf = 12;  // must exceed the runtime >10-bbox gate
+  cfg.ignore_classes = ds.ignore_category;
+  cfg.min_points_new_object = ds.box_map_points;
+  cfg.min_continue_obs = ds.min_continue_obs;
+  if (!ds.check_box_edge) cfg.edge_margin = 0;
+  cfg.object.eif_threshold = ds.eif_threshold;
+  cfg.object.eif_obs_numbers = ds.eif_obs_numbers;
+  cfg.object.check_mps_obs = ds.check_mps_obs;
+  cfg.object.add_mps_dist_multiple = ds.add_mps_dist;
+  cfg.object.merge_mps_dist_multiple = ds.merge_mps_dist;
+  cfg.object.merge_different_class = ds.merge_diff_class;
+  if (argc <= 3) train_iters = ds.train_step_iterations;
   Tracker tracker(cfg);
+  tracker.StartMapping();  // mapping thread (ref System.cc:84-96)
 
   std::unique_ptr<monerf::NerfManagerOnline> mgr;
   int kf_serial = 0;
@@ -158,7 +225,7 @@ int main(int argc, char** argv) {
   std::map<const ObjectMap*, int> nerf_idx;
 
   if (socket != "none") {
-    mgr.reset(new monerf::NerfManagerOnline(socket, /*use_sparse_depth=*/false,
+    mgr.reset(new monerf::NerfManagerOnline(socket, ds.use_sparse_depth,
                                             train_iters, /*capacity=*/8));
     mgr->Init();
     // preallocate keyframe budget ~ nimages/3 (ref src/System.cc:135-138)
@@ -211,6 +278,10 @@ int main(int argc, char** argv) {
           if (!boxes.empty() && nerf_idx.count(obj))
             mgr->UpdateNeRFBbox(nerf_idx[obj], boxes, /*train_step=*/1);
         };
+    tracker.hooks.on_reset = [&] {
+      // early-loss map reset invalidates every ObjectMap*/stamp we cached
+      nerf_idx.clear();
+    };
     tracker.hooks.update_poses =
         [&](const std::vector<std::pair<double, SE3>>& refined) {
           // rewrite already-uploaded keyframe poses with the BA-refined ones
@@ -248,10 +319,11 @@ int main(int argc, char** argv) {
     }
     cv::Mat gray;
     cv::cvtColor(bgr, gray, cv::COLOR_BGR2GRAY);
-    auto dets = ReadBboxFile(dataset + "/bbox/" + ds.stamps[i] + ".txt");
+    auto dets = ReadBboxFile(dataset + "/bbox/" + ds.stamps[i] + ".txt", ds);
     double t = std::atof(ds.stamps[i].c_str());
     if (tracker.Track(gray, instance, dets, t, bgr)) ++tracked;
   }
+  tracker.StopMapping();  // drain the keyframe queue before finalizing
   tracker.FinalizeObjects();
   std::printf("tracked %d frames; objects: %zu; keyframes: %zu\n", tracked,
               tracker.map().Objects().size(), tracker.map().NumKeyFrames());

@@ -4,6 +4,7 @@
 // recomputed on demand, ownership is explicit (the Map owns everything).
 #pragma once
 
+#include <algorithm>
 #include <memory>
 #include <mutex>
 #include <set>
@@ -86,6 +87,65 @@ class Map {
   }
   size_t NumKeyFrames() const { return keyframes_.size(); }
 
+  // Delete a map point everywhere: keyframe slots, observation map, object
+  // memberships (ref MapPoint::SetBadFlag + object back-refs,
+  // ref src/ObjectMap.cc:164-177).
+  void EraseMapPoint(MapPoint* p) {
+    if (p->bad) return;
+    p->bad = true;
+    for (auto& [kf, idx] : p->obs)
+      if (kf->points[idx] == p) kf->points[idx] = nullptr;
+    p->obs.clear();
+    for (auto& [obj, fid] : p->objects) {
+      auto& v = obj->points;
+      v.erase(std::remove(v.begin(), v.end(), p), v.end());
+    }
+    p->objects.clear();
+  }
+
+  // Fuse `gone` into `keep`: observations, stats, object memberships
+  // (ref MapPoint::Replace, used by ORBmatcher::Fuse).
+  void MergePoints(MapPoint* keep, MapPoint* gone) {
+    if (keep == gone || gone->bad || keep->bad) return;
+    for (auto& [kf, idx] : gone->obs) {
+      if (kf->points[idx] != gone) continue;
+      if (keep->obs.count(kf)) {
+        kf->points[idx] = nullptr;
+      } else {
+        kf->points[idx] = keep;
+        keep->obs[kf] = idx;
+      }
+    }
+    gone->obs.clear();
+    keep->n_found += gone->n_found;
+    keep->n_visible += gone->n_visible;
+    for (auto& [obj, fid] : gone->objects) {
+      auto& v = obj->points;
+      bool has_keep = std::find(v.begin(), v.end(), keep) != v.end();
+      auto it = std::find(v.begin(), v.end(), gone);
+      if (it != v.end()) {
+        if (has_keep) v.erase(it);
+        else *it = keep;
+      }
+      keep->objects.emplace(obj, fid);
+    }
+    gone->objects.clear();
+    gone->bad = true;
+  }
+
+  // Cull a redundant keyframe (ref KeyFrame::SetBadFlag): detach all its
+  // observations; the frame object stays allocated (ids/history remain
+  // valid) but no longer participates in BA or matching.
+  void EraseKeyFrame(KeyFrame* kf) {
+    if (kf->bad) return;
+    kf->bad = true;
+    for (size_t i = 0; i < kf->points.size(); ++i) {
+      MapPoint* p = kf->points[i];
+      if (p) p->obs.erase(kf);
+      kf->points[i] = nullptr;
+    }
+  }
+
   void Clear() {
     keyframes_.clear();
     points_.clear();
@@ -99,5 +159,26 @@ class Map {
   long next_point_id_ = 0;
   long next_kf_id_ = 0;
 };
+
+// Covisibility recomputed on demand (the reference maintains an incremental
+// covisibility graph, ref KeyFrame::UpdateConnections; at object-mapping
+// map sizes a recount per query is cheaper than the bookkeeping).
+inline std::vector<KeyFrame*> KeyFrame::Covisible(int min_shared) const {
+  std::map<KeyFrame*, int> counts;
+  for (const MapPoint* p : points) {
+    if (!p || p->bad) continue;
+    for (const auto& [kf, idx] : p->obs)
+      if (kf != this && !kf->bad) counts[kf]++;
+  }
+  std::vector<std::pair<int, KeyFrame*>> ranked;
+  for (auto& [kf, n] : counts)
+    if (n >= min_shared) ranked.push_back({n, kf});
+  std::sort(ranked.begin(), ranked.end(),
+            [](const auto& a, const auto& b) { return a.first > b.first; });
+  std::vector<KeyFrame*> out;
+  out.reserve(ranked.size());
+  for (auto& [n, kf] : ranked) out.push_back(kf);
+  return out;
+}
 
 }  // namespace romap

@@ -34,4 +34,18 @@ int SearchByProjectionMapPoints(Frame& cur, const std::vector<MapPoint*>& pts,
 int SearchForTriangulation(const KeyFrame& kf1, const KeyFrame& kf2,
                            std::vector<std::pair<int, int>>* matches);
 
+// Project candidate map points into `kf`; a projection landing on a keypoint
+// that already holds a DIFFERENT map point merges the two (the better-
+// observed one survives), an unclaimed keypoint gains an observation
+// (ref ORBmatcher::Fuse, driven by LocalMapping::SearchInNeighbors,
+// ref src/LocalMapping.cc:515). Returns fused+added count.
+int FuseByProjection(KeyFrame* kf, const std::vector<MapPoint*>& candidates,
+                     float radius, Map* map);
+
+// Brute-force descriptor match of the current frame against a keyframe's
+// map points (no pose prior — relocalization / reference-keyframe fallback,
+// ref ORBmatcher::SearchByBoW usage in Tracking.cc:566-623). Fills
+// cur.points; returns match count.
+int SearchByBruteForce(Frame& cur, const KeyFrame& kf, int max_dist = 60);
+
 }  // namespace romap

@@ -20,6 +20,7 @@ struct ObjectConfig {
   float eif_threshold = 0.58f;
   int eif_obs_numbers = 10;
   bool check_mps_obs = false;
+  float add_mps_dist_multiple = 2.0f;  // ref Add.MPs.distance.multiple
   float merge_mps_dist_multiple = 3.0f;
   bool merge_different_class = false;
 };
@@ -65,6 +66,12 @@ class ObjectMap {
   // ref MergeObject :797-891).
   void Merge(ObjectMap* other, double cur_keyframe_stamp);
 
+  // Fraction of this object's cuboid volume lying inside `other`'s cuboid,
+  // estimated on a 6x6x6 lattice of interior sample points (ref
+  // MergeOverlapObjects samples the cuboid volume, src/LocalMapping.cc:
+  // 959-1107). Requires both shapes estimated; returns 0 otherwise.
+  float CuboidOverlapRatio(const ObjectMap* other) const;
+
   void InsertHistoryBboxAndTwc(const FrameContext& frame, const Bbox& bbox);
 
   void SetBad(const std::string& reason);
@@ -88,6 +95,8 @@ class ObjectMap {
 
   Bbox last_bbox;
   Bbox last_last_bbox;
+  long last_bbox_frame = -1;       // frame ids of the two latest detections
+  long last_last_bbox_frame = -1;  // (for motion-extrapolated bbox IoU)
   Lines latest_lines;
   cv::Rect_<float> projected_rect;
 

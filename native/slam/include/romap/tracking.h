@@ -10,10 +10,14 @@
 // culling, object merge/cull, NeRF triggering).
 #pragma once
 
+#include <condition_variable>
+#include <deque>
 #include <functional>
 #include <memory>
+#include <mutex>
 #include <optional>
 #include <set>
+#include <thread>
 #include <vector>
 
 #include <opencv2/core.hpp>
@@ -73,11 +77,15 @@ struct NerfHooks {
   // lets the runtime rewrite already-uploaded poses (ref UpdateDataset
   // nerf_manager.cu:220-235 / nerf_data.cu:341-353).
   std::function<void(const std::vector<std::pair<double, SE3>>&)> update_poses;
+  // Fired by the early-loss map reset (ref Tracking.cc:728-737): every
+  // ObjectMap*/KeyFrame* the client holds is invalid afterwards.
+  std::function<void()> on_reset;
 };
 
 class Tracker {
  public:
   explicit Tracker(const TrackingConfig& cfg);
+  ~Tracker() { StopMapping(); }
 
   // Process one frame. rgb: BGR or RGB u8 (used for ORB via gray),
   // instance: u8 mask (may be empty), detections: filtered externally or raw.
@@ -101,18 +109,30 @@ class Tracker {
 
   void FinalizeObjects();  // final EIF + shape pass (ref LocalMapping.cc:135-146)
 
+  // Run the mapping step (triangulation/BA/merges/NeRF feed) on a dedicated
+  // thread with a keyframe queue — the reference's LocalMapping thread
+  // (ref src/System.cc:84-96, producer-consumer queue LocalMapping.h:
+  // 104-110). Tracking then never blocks on BA or on shipping keyframe
+  // images to the NeRF runtime.
+  void StartMapping();
+  void StopMapping();  // drain the queue, then join
+
  private:
   void BuildFrame(const cv::Mat& gray, const cv::Mat& instance,
                   const std::vector<Detection>& detections, double timestamp);
   std::vector<Detection> FilterDetections(const std::vector<Detection>& in) const;
   bool Initialize();
   bool TrackWithMotionModel();
+  bool TrackReferenceKeyFrame();  // fallback (ref Tracking.cc:566-600)
+  bool Relocalize();              // recovery from kLost (ref :566-623)
+  void Reset();                   // early-loss map reset (ref :728-737)
   bool TrackLocalMap();
   void ObjectPipeline(const cv::Mat& instance);
   bool NeedKeyFrame() const;
   KeyFrame* MakeKeyFrame(const cv::Mat& rgb, const cv::Mat& instance);
-  void MappingStep(KeyFrame* kf, const cv::Mat& rgb,
-                   const cv::Mat& instance);  // BA/upload/cull/merge/NeRF
+  void MappingStep(KeyFrame* kf, const cv::Mat& rgb, const cv::Mat& instance,
+                   const Lines& lines);  // BA/upload/cull/merge/NeRF
+  void MappingLoop();
   void TriggerNerf(KeyFrame* kf);
   cv::Mat SparseDepth(const KeyFrame& kf) const;
 
@@ -130,6 +150,22 @@ class Tracker {
   long frames_since_kf_ = 0;
   long init_frame_id_ = 0;
   std::vector<Stamped> trajectory_;
+  // young map points under culling observation (point, created-at kf id)
+  std::vector<std::pair<MapPoint*, long>> recent_points_;
+
+  // --- async mapping state ---
+  struct PendingKF {
+    KeyFrame* kf;
+    cv::Mat rgb, instance;
+    Lines lines;
+  };
+  bool mapping_async_ = false;
+  std::thread mapping_thread_;
+  std::mutex map_mutex_;  // guards the Map between tracking + mapping
+  std::mutex queue_mutex_;
+  std::condition_variable queue_cv_;
+  std::deque<PendingKF> kf_queue_;
+  bool mapping_finish_ = false;
 
   // per-object creation-time viewing direction (for the angle trigger)
   std::map<ObjectMap*, Vec3> first_view_dir_;

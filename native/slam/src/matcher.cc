@@ -192,4 +192,73 @@ int SearchForTriangulation(const KeyFrame& kf1, const KeyFrame& kf2,
   return static_cast<int>(matches->size());
 }
 
+int FuseByProjection(KeyFrame* kf, const std::vector<MapPoint*>& candidates,
+                     float radius, Map* map) {
+  int fused = 0;
+  const auto& cam = kf->cam;
+  for (MapPoint* p : candidates) {
+    if (!p || p->bad || p->obs.count(kf)) continue;
+    Vec3 c = kf->tcw * p->pos;
+    if (c[2] <= 0.05f) continue;
+    float u = cam.fx * c[0] / c[2] + cam.cx;
+    float v = cam.fy * c[1] / c[2] + cam.cy;
+    if (u < cam.min_x || u >= cam.max_x || v < cam.min_y || v >= cam.max_y)
+      continue;
+    int best = kOrbDistLow, best_idx = -1;
+    for (size_t j = 0; j < kf->keypoints.size(); ++j) {
+      const auto& pt = kf->keypoints[j].pt;
+      if (std::abs(pt.x - u) > radius || std::abs(pt.y - v) > radius) continue;
+      int d = DescriptorDistance(p->descriptor,
+                                 kf->descriptors.row(static_cast<int>(j)));
+      if (d < best) {
+        best = d;
+        best_idx = static_cast<int>(j);
+      }
+    }
+    if (best_idx < 0) continue;
+    MapPoint* existing = kf->points[best_idx];
+    if (existing && existing != p && !existing->bad) {
+      // duplicate landmark — keep the better-observed one
+      if (existing->obs.size() >= p->obs.size())
+        map->MergePoints(existing, p);
+      else
+        map->MergePoints(p, existing);
+      ++fused;
+    } else if (!existing) {
+      kf->points[best_idx] = p;
+      p->obs[kf] = best_idx;
+      ++fused;
+    }
+  }
+  return fused;
+}
+
+int SearchByBruteForce(Frame& cur, const KeyFrame& kf, int max_dist) {
+  int n = 0;
+  std::vector<int> owner(cur.keypoints.size(), max_dist + 1);
+  for (size_t i = 0; i < kf.points.size(); ++i) {
+    MapPoint* p = kf.points[i];
+    if (!p || p->bad) continue;
+    int best = max_dist, best2 = 256, best_idx = -1;
+    for (size_t j = 0; j < cur.keypoints.size(); ++j) {
+      int d = DescriptorDistance(p->descriptor,
+                                 cur.descriptors.row(static_cast<int>(j)));
+      if (d < best) {
+        best2 = best;
+        best = d;
+        best_idx = static_cast<int>(j);
+      } else if (d < best2) {
+        best2 = d;
+      }
+    }
+    // ratio test + better-owner check
+    if (best_idx < 0 || best > static_cast<int>(0.75f * best2)) continue;
+    if (best >= owner[best_idx]) continue;
+    owner[best_idx] = best;
+    cur.points[best_idx] = p;
+    ++n;
+  }
+  return n;
+}
+
 }  // namespace romap

@@ -22,9 +22,28 @@ void ObjectMap::SetBad(const std::string& /*reason*/) {
 }
 
 void ObjectMap::AddNewPoints(const std::vector<MapPoint*>& pts, long frame_id) {
+  // distance gate (ref Tracking.cc:1725-1735): once the cloud is mature, a
+  // candidate whose object-frame coordinate exceeds add_mps_dist_multiple x
+  // the cloud's per-axis reach is a background point leaking through the
+  // detection box — reject it instead of letting EIF clean up later.
+  bool gate = points.size() >= 20;
+  Vec3 maxd{0, 0, 0};
+  if (gate) {
+    for (const MapPoint* q : points) {
+      Vec3 l = t_obj_w * q->pos;
+      for (int a = 0; a < 3; ++a) maxd[a] = std::max(maxd[a], std::abs(l[a]));
+    }
+  }
   std::set<MapPoint*> have(points.begin(), points.end());
   for (MapPoint* p : pts) {
     if (have.count(p)) continue;
+    if (gate) {
+      Vec3 l = t_obj_w * p->pos;
+      float m = cfg_.add_mps_dist_multiple;
+      if (std::abs(l[0]) > m * maxd[0] || std::abs(l[1]) > m * maxd[1] ||
+          std::abs(l[2]) > m * maxd[2])
+        continue;
+    }
     p->AddObject(this, frame_id);
     points.push_back(p);
     have.insert(p);
@@ -483,6 +502,33 @@ void ObjectMap::InsertHistoryBboxAndTwc(const FrameContext& frame,
                                         const Bbox& bbox) {
   history_bbox[frame.timestamp] = bbox;
   history_twc[frame.timestamp] = frame.tcw.inverse().matrix();
+}
+
+float ObjectMap::CuboidOverlapRatio(const ObjectMap* other) const {
+  // ref MergeOverlapObjects (src/LocalMapping.cc:959-1107): sample this
+  // cuboid's volume on a lattice, count samples falling inside the other
+  // cuboid. Both objects need estimated shapes (a refined cuboid exists
+  // once first_init is false).
+  if (first_init || other->first_init) return 0.f;
+  const Cuboid& a = shape;
+  const Cuboid& b = other->shape;
+  if (a.a1 <= 0 || b.a1 <= 0) return 0.f;
+  SE3 a_to_w = a.t_obj_w.inverse();
+  const SE3& w_to_b = b.t_obj_w;
+  constexpr int n = 6;
+  int inside = 0;
+  for (int ix = 0; ix < n; ++ix)
+    for (int iy = 0; iy < n; ++iy)
+      for (int iz = 0; iz < n; ++iz) {
+        Vec3 local(a.a1 * (2.f * (ix + .5f) / n - 1.f),
+                   a.a2 * (2.f * (iy + .5f) / n - 1.f),
+                   a.a3 * (2.f * (iz + .5f) / n - 1.f));
+        Vec3 q = w_to_b * (a_to_w * local);
+        if (std::abs(q[0]) <= b.a1 && std::abs(q[1]) <= b.a2 &&
+            std::abs(q[2]) <= b.a3)
+          ++inside;
+      }
+  return static_cast<float>(inside) / (n * n * n);
 }
 
 }  // namespace romap

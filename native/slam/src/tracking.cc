@@ -161,6 +161,61 @@ bool Tracker::TrackWithMotionModel() {
   return OptimizePose(&cur_) >= 10;
 }
 
+bool Tracker::TrackReferenceKeyFrame() {
+  // second tracking mode before declaring loss (ref Tracking.cc:566-600):
+  // brute-force match the reference keyframe's map points, PnP from there.
+  if (!last_kf_ || last_kf_->bad) return false;
+  std::fill(cur_.points.begin(), cur_.points.end(), nullptr);
+  int n = SearchByBruteForce(cur_, *last_kf_);
+  if (n < 15) return false;
+  cur_.tcw = last_kf_->tcw;
+  cur_.pose_valid = true;
+  return OptimizePose(&cur_) >= 10;
+}
+
+bool Tracker::Relocalize() {
+  // ref Tracking::Relocalization (src/Tracking.cc:566-623 + PnPsolver.cc):
+  // the reference votes candidates via the DBoW2 KeyFrameDatabase; at
+  // object-mapping map sizes brute-force descriptor matching against the
+  // most recent keyframes gives the same recall without a vocabulary.
+  auto kfs = map_.KeyFrames();
+  int tried = 0;
+  for (auto it = kfs.rbegin(); it != kfs.rend() && tried < 10; ++it, ++tried) {
+    std::fill(cur_.points.begin(), cur_.points.end(), nullptr);
+    int n = SearchByBruteForce(cur_, **it);
+    if (n < 15) continue;
+    cur_.tcw = (*it)->tcw;  // initial guess; PnP-RANSAC re-derives it
+    cur_.pose_valid = true;
+    if (OptimizePose(&cur_) >= 10) {
+      if (std::getenv("ROMAP_SLAM_DEBUG"))
+        std::printf("[reloc frame %ld] recovered from kf %ld (%d matches)\n",
+                    cur_.id, (*it)->id, n);
+      return true;
+    }
+  }
+  return false;
+}
+
+void Tracker::Reset() {
+  // early tracking loss invalidates the young map (ref Tracking.cc:728-737:
+  // "Track lost soon after initialisation, reseting...")
+  if (hooks.on_reset) hooks.on_reset();
+  {
+    std::lock_guard<std::mutex> ql(queue_mutex_);
+    kf_queue_.clear();  // queued KeyFrame* die with the map
+  }
+  map_.Clear();
+  recent_points_.clear();
+  first_view_dir_.clear();
+  last_pushed_dir_.clear();
+  last_kf_ = nullptr;
+  has_velocity_ = false;
+  has_init_ref_ = false;
+  std::fill(cur_.points.begin(), cur_.points.end(), nullptr);
+  last_ = Frame();
+  state_ = State::kNotInitialized;
+}
+
 bool Tracker::TrackLocalMap() {
   // local points: everything observed by recent keyframes' covisibles —
   // at object-mapping scale the whole map is small, use it directly.
@@ -224,7 +279,23 @@ void Tracker::ObjectPipeline(const cv::Mat& /*instance*/) {
       if (obj->cls != det.bbox.cls) continue;
       bool consecutive = cur_.id - obj->latest_obs_frame_id <= 2;
       if (consecutive) {
-        float iou = det.bbox.IoU(obj->last_bbox.rect);
+        // motion-extrapolated bbox (ref Tracking.cc:1437-1475): predict the
+        // current box from the last two detections' motion, so fast camera
+        // or object motion does not break the IoU gate.
+        cv::Rect_<float> pred = obj->last_bbox.rect;
+        if (obj->last_bbox_frame >= 0 && obj->last_last_bbox_frame >= 0 &&
+            obj->last_bbox_frame > obj->last_last_bbox_frame) {
+          const auto& r1 = obj->last_bbox.rect;
+          const auto& r0 = obj->last_last_bbox.rect;
+          float dt = static_cast<float>(cur_.id - obj->last_bbox_frame) /
+                     static_cast<float>(obj->last_bbox_frame -
+                                        obj->last_last_bbox_frame);
+          pred.x = r1.x + dt * (r1.x - r0.x);
+          pred.y = r1.y + dt * (r1.y - r0.y);
+          pred.width = std::max(8.f, r1.width + dt * (r1.width - r0.width));
+          pred.height = std::max(8.f, r1.height + dt * (r1.height - r0.height));
+        }
+        float iou = det.bbox.IoU(pred);
         if (iou > best_iou) {
           best_iou = iou;
           best_iou_obj = obj;
@@ -303,7 +374,9 @@ void Tracker::ObjectPipeline(const cv::Mat& /*instance*/) {
     assoc->n_obs += 1;
     assoc->latest_obs_frame_id = cur_.id;
     assoc->last_last_bbox = assoc->last_bbox;
+    assoc->last_last_bbox_frame = assoc->last_bbox_frame;
     assoc->last_bbox = det.bbox;
+    assoc->last_bbox_frame = cur_.id;
     assoc->latest_lines = det.lines;
     assoc->history_pos.push_back(det.pos_mean);
     assoc->FilterOutliersReprojection(ctx);
@@ -348,7 +421,7 @@ cv::Mat Tracker::SparseDepth(const KeyFrame& kf) const {
   return depth;
 }
 
-KeyFrame* Tracker::MakeKeyFrame(const cv::Mat& rgb, const cv::Mat& instance) {
+KeyFrame* Tracker::MakeKeyFrame(const cv::Mat& /*rgb*/, const cv::Mat& /*instance*/) {
   KeyFrame* kf = map_.CreateKeyFrame();
   kf->frame_id = cur_.id;
   kf->timestamp = cur_.timestamp;
@@ -373,7 +446,39 @@ KeyFrame* Tracker::MakeKeyFrame(const cv::Mat& rgb, const cv::Mat& instance) {
 }
 
 void Tracker::MappingStep(KeyFrame* kf, const cv::Mat& rgb,
-                          const cv::Mat& instance) {
+                          const cv::Mat& instance, const Lines& lines) {
+  // In async mode the whole map-mutating body runs under map_mutex_
+  // (tracking holds the same lock for its map reads); the keyframe-upload
+  // hooks release it so socket I/O never stalls tracking.
+  std::unique_lock<std::mutex> lk(map_mutex_, std::defer_lock);
+  if (mapping_async_) lk.lock();
+
+  // recent-map-point culling (ref LocalMapping::MapPointCulling,
+  // src/LocalMapping.cc:231): a young point must keep a >25% found ratio
+  // and gain a third observation within 2 keyframes of creation; survivors
+  // graduate from monitoring after 3 keyframes.
+  {
+    std::vector<std::pair<MapPoint*, long>> still;
+    if (std::getenv("ROMAP_NO_MPCULL")) recent_points_.clear();
+    for (auto& [p, created] : recent_points_) {
+      if (p->bad) continue;
+      long age = kf->id - created;
+      if (p->FoundRatio() < 0.25f) {
+        map_.EraseMapPoint(p);
+      } else if (age >= 3 && p->obs.size() <= 2 && p->FoundRatio() < 0.5f) {
+        // the reference culls at age 2 / obs <= 2 (LocalMapping.cc:231) but
+        // re-observes points against ~20 neighbors in SearchInNeighbors; our
+        // 5-neighbor fuse is narrower, so require a weak found ratio too or
+        // healthy object-surface points get purged (measured: object-center
+        // error 0.04 -> 0.35 with the strict rule on the synthetic orbit)
+        map_.EraseMapPoint(p);
+      } else if (age < 3) {
+        still.push_back({p, created});
+      }
+    }
+    recent_points_.swap(still);
+  }
+
   // triangulate new points against recent keyframes
   // (ref LocalMapping::CreateNewMapPoints searches covisible neighbors)
   {
@@ -396,7 +501,28 @@ void Tracker::MappingStep(KeyFrame* kf, const cv::Mat& rgb,
         mp->obs[kf] = i2;
         prev->points[i1] = mp;
         kf->points[i2] = mp;
+        recent_points_.push_back({mp, kf->id});
       }
+    }
+  }
+
+  // duplicate-landmark fusion with covisible neighbors (ref
+  // LocalMapping::SearchInNeighbors + ORBmatcher::Fuse,
+  // src/LocalMapping.cc:515): project neighbors' points into this keyframe
+  // and this keyframe's points into the neighbors; same-feature hits merge.
+  if (!std::getenv("ROMAP_NO_FUSE")) {
+    auto neighbors = kf->Covisible(15);
+    if (neighbors.size() > 5) neighbors.resize(5);
+    std::vector<MapPoint*> own;
+    for (MapPoint* p : kf->points)
+      if (p && !p->bad) own.push_back(p);
+    for (KeyFrame* nb : neighbors) {
+      if (nb == kf || nb->bad) continue;
+      std::vector<MapPoint*> theirs;
+      for (MapPoint* p : nb->points)
+        if (p && !p->bad) theirs.push_back(p);
+      FuseByProjection(kf, theirs, 3.0f, &map_);
+      FuseByProjection(nb, own, 3.0f, &map_);
     }
   }
 
@@ -426,20 +552,46 @@ void Tracker::MappingStep(KeyFrame* kf, const cv::Mat& rgb,
   // Upload the keyframe to the NeRF runtime only now, with the BA-refined
   // pose and BA-refined sparse depth (the reference's LocalMapping uploads
   // after LocalBA for the same reason, ref LocalMapping.cc:74-105); then
-  // rewrite the rest of the BA window's already-uploaded poses.
-  cur_.tcw = kf->tcw;  // keep the tracker's view of this frame consistent
+  // rewrite the rest of the BA window's already-uploaded poses. The socket
+  // I/O runs OUTSIDE the map lock in async mode — the hook gets a shallow
+  // keyframe header (id/stamp/pose/cam) so no live map state is shared.
+  if (!mapping_async_)
+    cur_.tcw = kf->tcw;  // keep the tracker's view of this frame consistent
+  KeyFrame header;
+  header.id = kf->id;
+  header.frame_id = kf->frame_id;
+  header.timestamp = kf->timestamp;
+  header.tcw = kf->tcw;
+  header.cam = kf->cam;
+  cv::Mat sparse_depth = SparseDepth(*kf);
+  std::vector<std::pair<double, SE3>> refined;
+  refined.reserve(ba_window.size());
+  for (KeyFrame* k : ba_window)
+    refined.push_back({k->timestamp, k->Twc()});
+  if (lk.owns_lock()) lk.unlock();
   if (hooks.on_keyframe && !rgb.empty())
-    hooks.on_keyframe(*kf, rgb, instance, SparseDepth(*kf));
-  if (hooks.update_poses) {
-    std::vector<std::pair<double, SE3>> refined;
-    refined.reserve(ba_window.size());
-    for (KeyFrame* k : ba_window)
-      refined.push_back({k->timestamp, k->Twc()});
-    hooks.update_poses(refined);
+    hooks.on_keyframe(header, rgb, instance, sparse_depth);
+  if (hooks.update_poses && !refined.empty()) hooks.update_poses(refined);
+  if (mapping_async_) lk.lock();
+
+  // redundant-keyframe culling (ref LocalMapping::KeyFrameCulling,
+  // src/LocalMapping.cc:693): a local keyframe 90% of whose tracked points
+  // are observed by >= 3 other keyframes adds nothing — retire it. Never
+  // the gauge pair, the newest, or the tracker's reference keyframe.
+  for (KeyFrame* kf2 : ba_window) {
+    if (std::getenv("ROMAP_NO_KFCULL")) break;
+    if (kf2->id <= 1 || kf2 == kf || kf2 == last_kf_ || kf2->bad) continue;
+    int total = 0, redundant = 0;
+    for (MapPoint* p : kf2->points) {
+      if (!p || p->bad) continue;
+      ++total;
+      if (p->obs.size() >= 4) ++redundant;  // 3 others + this one
+    }
+    if (total > 20 && redundant > 0.9f * total) map_.EraseKeyFrame(kf2);
   }
 
   // keyframe-side object updates (ref LocalMapping::UpdateObjSizeAndPose)
-  FrameContext ctx{cur_.id, cur_.timestamp, kf->tcw, kf->cam, cur_.lines};
+  FrameContext ctx{kf->frame_id, kf->timestamp, kf->tcw, kf->cam, lines};
   for (ObjectMap* obj : map_.Objects()) {
     if (obj->history_bbox.count(kf->timestamp)) {
       obj->keyframe_history_bbox[kf->timestamp] =
@@ -450,32 +602,66 @@ void Tracker::MappingStep(KeyFrame* kf, const cv::Mat& rgb,
     }
   }
 
-  // cuboid-overlap merge / false-object cull
-  // (ref LocalMapping::MergeOverlapObjects :959-1107, simplified to the
-  // center-containment + same-class rule)
+  // double t-test merge (ref LocalMapping::MergeObjects :874-958):
+  // same-class objects whose history-position means lie within each
+  // OTHER's t-confidence region at alpha=.001 on all three axes — in both
+  // directions — are one object.
+  auto t_pass = [](const ObjectMap* x, const ObjectMap* y) {
+    if (x->n_obs < 5) return false;
+    int dof = std::min(100, x->n_obs - 1);
+    float th = t_critical(dof, 2);  // alpha = .001 column
+    for (int a = 0; a < 3; ++a) {
+      float sd = std::max(x->history_pos_std[a], 1e-4f);
+      float t = std::sqrt(static_cast<float>(x->n_obs)) *
+                std::abs(x->history_pos_mean[a] - y->history_pos_mean[a]) / sd;
+      if (t >= th) return false;
+    }
+    return true;
+  };
   auto objs = map_.Objects();
   for (size_t i = 0; i < objs.size(); ++i) {
     for (size_t j = i + 1; j < objs.size(); ++j) {
       ObjectMap *a = objs[i], *b = objs[j];
       if (a->IsBad() || b->IsBad()) continue;
       if (a->cls != b->cls && !cfg_.object.merge_different_class) continue;
-      // center + reach, falling back to the midpoint pose / axis length for
-      // objects whose refined shape does not exist yet
-      auto center_reach = [](const ObjectMap* o) {
-        if (o->first_init)
-          return std::make_pair(o->t_obj_w.inverse().t, o->axis_length);
-        return std::make_pair(o->shape.t_obj_w.inverse().t, o->shape.max_dist);
-      };
-      auto [ca, ra] = center_reach(a);
-      auto [cb, rb] = center_reach(b);
-      Vec3 dc = ca - cb;
-      float dist = std::sqrt(dc.dot(dc));
-      // same-class cuboids whose centers sit well inside each other's
-      // diagonal reach are one physical object (the reference samples the
-      // cuboid volume overlap > 0.3; this center-distance test is the cheap
-      // equivalent at these scales)
-      if (ra <= 0 || rb <= 0) continue;
-      bool overlap = dist < 0.75f * (ra + rb);
+      a->ComputeHistoryStats();
+      b->ComputeHistoryStats();
+      if (!(t_pass(a, b) && t_pass(b, a))) continue;
+      ObjectMap* keep = a->n_obs >= b->n_obs ? a : b;
+      ObjectMap* gone = keep == a ? b : a;
+      if (gone->have_nerf) continue;  // never cull a NeRF'd object
+      keep->Merge(gone, kf->timestamp);
+      gone->SetBad("merged by double t-test");
+    }
+  }
+
+  // cuboid-overlap merge / false-object cull (ref
+  // LocalMapping::MergeOverlapObjects :959-1107): sampled cuboid-volume
+  // overlap > 0.3 in either direction; fall back to a center-distance test
+  // while either object's refined cuboid does not exist yet.
+  objs = map_.Objects();
+  for (size_t i = 0; i < objs.size(); ++i) {
+    for (size_t j = i + 1; j < objs.size(); ++j) {
+      ObjectMap *a = objs[i], *b = objs[j];
+      if (a->IsBad() || b->IsBad()) continue;
+      if (a->cls != b->cls && !cfg_.object.merge_different_class) continue;
+      bool overlap;
+      if (!a->first_init && !b->first_init) {
+        overlap = std::max(a->CuboidOverlapRatio(b),
+                           b->CuboidOverlapRatio(a)) > 0.3f;
+      } else {
+        auto center_reach = [](const ObjectMap* o) {
+          if (o->first_init)
+            return std::make_pair(o->t_obj_w.inverse().t, o->axis_length);
+          return std::make_pair(o->shape.t_obj_w.inverse().t,
+                                o->shape.max_dist);
+        };
+        auto [ca, ra] = center_reach(a);
+        auto [cb, rb] = center_reach(b);
+        Vec3 dc = ca - cb;
+        if (ra <= 0 || rb <= 0) continue;
+        overlap = std::sqrt(dc.dot(dc)) < 0.75f * (ra + rb);
+      }
       if (!overlap) continue;
       ObjectMap* keep = a->n_obs >= b->n_obs ? a : b;
       ObjectMap* gone = keep == a ? b : a;
@@ -486,8 +672,6 @@ void Tracker::MappingStep(KeyFrame* kf, const cv::Mat& rgb,
   }
 
   TriggerNerf(kf);
-  last_kf_ = kf;
-  frames_since_kf_ = 0;
 }
 
 void Tracker::TriggerNerf(KeyFrame* kf) {
@@ -555,6 +739,41 @@ void Tracker::TriggerNerf(KeyFrame* kf) {
   }
 }
 
+void Tracker::StartMapping() {
+  if (mapping_thread_.joinable()) return;
+  mapping_finish_ = false;
+  mapping_async_ = true;
+  mapping_thread_ = std::thread(&Tracker::MappingLoop, this);
+}
+
+void Tracker::StopMapping() {
+  if (!mapping_thread_.joinable()) return;
+  {
+    std::lock_guard<std::mutex> ql(queue_mutex_);
+    mapping_finish_ = true;
+  }
+  queue_cv_.notify_all();
+  mapping_thread_.join();  // the loop drains the queue before exiting
+  mapping_async_ = false;
+}
+
+void Tracker::MappingLoop() {
+  for (;;) {
+    PendingKF job;
+    {
+      std::unique_lock<std::mutex> ql(queue_mutex_);
+      queue_cv_.wait(ql, [&] { return mapping_finish_ || !kf_queue_.empty(); });
+      if (kf_queue_.empty()) {
+        if (mapping_finish_) return;
+        continue;
+      }
+      job = std::move(kf_queue_.front());
+      kf_queue_.pop_front();
+    }
+    MappingStep(job.kf, job.rgb, job.instance, job.lines);
+  }
+}
+
 void Tracker::FinalizeObjects() {
   FrameContext ctx{cur_.id, cur_.timestamp, cur_.tcw, cur_.cam, {}};
   for (ObjectMap* obj : map_.Objects()) {
@@ -573,6 +792,9 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
                                   double timestamp, const cv::Mat& rgb) {
   BuildFrame(gray, instance, detections, timestamp);
 
+  std::unique_lock<std::mutex> maplk(map_mutex_, std::defer_lock);
+  if (mapping_async_) maplk.lock();
+
   if (state_ == State::kNotInitialized) {
     if (Initialize()) {
       trajectory_.push_back({timestamp, cur_.tcw});
@@ -583,7 +805,14 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
     return std::nullopt;
   }
 
-  bool ok = TrackWithMotionModel();
+  bool ok;
+  if (state_ == State::kLost) {
+    ok = Relocalize();
+    if (ok) has_velocity_ = false;  // stale velocity after a gap
+  } else {
+    ok = TrackWithMotionModel();
+    if (!ok) ok = TrackReferenceKeyFrame();
+  }
   if (ok) ok = TrackLocalMap();
   if (std::getenv("ROMAP_SLAM_DEBUG")) {
     int tracked = 0;
@@ -594,6 +823,12 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
                 cur_.tcw.t[2]);
   }
   if (!ok) {
+    // lost soon after initialization: the young map is junk — rebuild it
+    // from scratch (ref Tracking.cc:728-737)
+    if (state_ == State::kOk && cur_.id - init_frame_id_ < 20) {
+      Reset();
+      return std::nullopt;
+    }
     state_ = State::kLost;
     has_velocity_ = false;
     last_ = cur_;
@@ -608,7 +843,17 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
   ++frames_since_kf_;
   if (NeedKeyFrame()) {
     KeyFrame* kf = MakeKeyFrame(rgb, instance);
-    MappingStep(kf, rgb, instance);
+    last_kf_ = kf;
+    frames_since_kf_ = 0;
+    if (mapping_async_) {
+      {
+        std::lock_guard<std::mutex> ql(queue_mutex_);
+        kf_queue_.push_back({kf, rgb.clone(), instance.clone(), cur_.lines});
+      }
+      queue_cv_.notify_one();
+    } else {
+      MappingStep(kf, rgb, instance, cur_.lines);
+    }
   }
   trajectory_.push_back({timestamp, cur_.tcw});
   last_ = cur_;

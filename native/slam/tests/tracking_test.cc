@@ -5,6 +5,7 @@
 // scale), and object-landmark creation near the true object.
 
 #include <cmath>
+#include <string>
 #include <cstdio>
 #include <random>
 
@@ -127,7 +128,10 @@ void Render(const World& w, const SE3& twc, cv::Mat* gray, cv::Mat* instance,
 
 }  // namespace
 
-int main() {
+int main(int argc, char** argv) {
+  // --async: run the mapping step on its own thread (the reference's
+  // LocalMapping-thread shape) — same checks must pass.
+  bool async = argc > 1 && std::string(argv[1]) == "--async";
   World world = MakeWorld();
   TrackingConfig cfg;
   cfg.cam = {520, 520, 320, 240, 0, 0, W, H};
@@ -135,6 +139,7 @@ int main() {
   cfg.nerf_angle_change = 0.05f;
   cfg.min_bboxes_for_nerf = 6;  // small sequence: exercise the trigger
   Tracker tracker(cfg);
+  if (async) tracker.StartMapping();
 
   int created_nerfs = 0, bbox_pushes = 0;
   tracker.hooks.create_nerf = [&](ObjectMap*) { return created_nerfs++; };
@@ -148,23 +153,36 @@ int main() {
   const int n_frames = 90;  // long enough that the viewing-angle trigger is not marginal
   std::vector<SE3> gt, est;
   std::vector<int> est_idx;
-  int tracked = 0;
+  int tracked = 0, tracked_after_blackout = 0;
   for (int i = 0; i < n_frames; ++i) {
     SE3 twc = CameraPose(i);
     cv::Mat gray, instance;
     Detection det;
     bool visible = false;
     Render(world, twc, &gray, &instance, &det, &visible);
+    // blackout: 6 frames of darkness mid-sequence — tracking must go lost
+    // and RELOCALIZE when imagery returns (the camera arc re-visits viewed
+    // structure), instead of drifting on a dead motion model
+    if (i >= 58 && i < 64) {
+      gray = cv::Mat::zeros(gray.size(), CV_8U);
+      instance = cv::Mat::zeros(instance.size(), CV_8U);
+      visible = false;
+    }
     std::vector<Detection> dets;
     if (visible) dets.push_back(det);
     auto pose = tracker.Track(gray, instance, dets, i * 0.1, gray);
     if (pose) {
       ++tracked;
+      if (i >= 64) ++tracked_after_blackout;
       gt.push_back(twc.inverse());
       est.push_back(*pose);
       est_idx.push_back(i);
     }
   }
+  if (async) tracker.StopMapping();
+  std::printf("relocalized: tracked %d frames after the blackout\n",
+              tracked_after_blackout);
+  CHECK(tracked_after_blackout >= 15);  // recovered within ~10 frames
   std::printf("tracked %d/%d frames, state=%d\n", tracked, n_frames,
               static_cast<int>(tracker.state()));
   CHECK(tracked > n_frames * 2 / 3);

@@ -39,14 +39,18 @@ class EncodingConfig:
     log2_hashmap_size: int = 16
     base_resolution: int = 16
     desired_resolution: float = 2048.0
-    # mxgrid knobs
-    mx_levels: int = 8
-    mx_max_resolution: int = 1024
+    # mxgrid knobs — flagship defaults picked by the round-2 speed/quality
+    # ladder on v5e (QUALITY.json): CP 7 levels to 512 @ 64ch + one
+    # (128,128,8) plane level was both the fastest (238 obj-iters/s) and the
+    # best 5000-step PSNR (28.84 dB, vs 28.4 for the round-1 8/1024+16ch
+    # config and 27.9-28.8 for every wider/rectangular variant).
+    mx_levels: int = 7
+    mx_max_resolution: int = 512
     mx_features: int = 64
     # VM plane-x-line components (TensoRF-style): restore full-rank texture
     # capacity that rank-limited CP lines lack. 0 disables.
     mx_plane_res: int = 128
-    mx_plane_features: int = 16
+    mx_plane_features: int = 8
     # Multi-level plane ladder ((res, feats), ...) — overrides the single
     # mx_plane_res/mx_plane_features level when set. Multi-scale planes cost
     # R^2*K per level, so e.g. ((64,8),(128,8)) has ~2.6x less compute than
@@ -123,8 +127,11 @@ class TrainConfig:
     # Marching cubes (ref marching_cubes.h:30-31)
     mc_resolution: int = 64
     mc_threshold: float = 2.0
-    # dtype of the compute path ("bfloat16" or "float32"); params stay fp32.
-    compute_dtype: str = "float32"
+    # dtype of the compute path; params stay fp32 and the render/mesh paths
+    # force fp32 regardless (ref renders fp32, nerf_model.cu:1795).
+    # "auto" = bfloat16 on TPU (matches the reference's fp16 training),
+    # float32 on CPU (XLA CPU emulates bf16 ~5x slower — tests/dev only).
+    compute_dtype: str = "auto"  # "auto" | "bfloat16" | "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -87,9 +87,10 @@ def field_apply(
     inference (ref nerf_model.cu:1795) while training runs the config dtype.
     """
     if dtype is None:
-        dtype = (
-            jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
-        )
+        cd = cfg.train.compute_dtype
+        if cd == "auto":
+            cd = "float32" if jax.default_backend() == "cpu" else "bfloat16"
+        dtype = jnp.bfloat16 if cd == "bfloat16" else jnp.float32
     table = jax.tree.map(lambda a: a.astype(dtype), params["table"])
     if isinstance(spec, mxgrid.MXGridSpec):
         impl = cfg.encoding.mx_impl

@@ -54,14 +54,15 @@ class MXGridSpec:
     # VM (TensoRF-style) plane-x-line components: rank-limited CP lines
     # underfit full-rank 3D texture; 2D planes restore it, still gather-free
     # (plane sampling = hat matmul + per-point contraction). A LADDER of
-    # (resolution, channels) levels — multi-scale planes cost far less than
-    # one high-res plane of equal channel count (cost per point per plane
-    # pair is R^2 * Kp) and carry better multi-scale inductive bias.
-    plane_specs: tuple[tuple[int, int], ...] = ()  # ((res, feats), ...)
+    # (res_u, res_v, channels) levels. The two resolutions are independent
+    # because only the u axis is contracted on the MXU (cost per point per
+    # plane pair = K * res_u * B(res_v) MACs on TPU) while v reduces on the
+    # VPU — rectangular planes buy v-detail nearly free.
+    plane_specs: tuple[tuple[int, int, int], ...] = ()  # ((ru, rv, k), ...)
 
     @property
     def plane_out_dims(self) -> int:
-        return 3 * sum(k for _, k in self.plane_specs)
+        return 3 * sum(k for _, _, k in self.plane_specs)
 
     @property
     def n_output_dims(self) -> int:
@@ -89,9 +90,13 @@ def make_mxspec(
         off += r
     if plane_specs is None:
         plane_specs = ((plane_res, plane_features),) if plane_features > 0 else ()
+    # normalize (r, k) pairs to (ru, rv, k) triples
+    norm = tuple(
+        (p[0], p[0], p[1]) if len(p) == 2 else tuple(p) for p in plane_specs
+    )
     return MXGridSpec(
         resolutions=res, features=features, offsets=tuple(offsets), total_res=off,
-        chunk=chunk, plane_specs=tuple(tuple(p) for p in plane_specs),
+        chunk=chunk, plane_specs=norm,
     )
 
 
@@ -112,12 +117,12 @@ def init_mxgrid(key: jax.Array, spec: MXGridSpec, dtype=jnp.float32):
     return {
         "lines": lines,
         "planes": tuple(
-            0.3 * jax.random.normal(kp, (3, r, r, k), dtype)
-            for kp, (r, k) in zip(kps, spec.plane_specs)
+            0.3 * jax.random.normal(kp, (3, ru, rv, k), dtype)
+            for kp, (ru, rv, k) in zip(kps, spec.plane_specs)
         ),
         "plane_lines": tuple(
-            0.3 * jax.random.normal(kl, (3, r, k), dtype)
-            for kl, (r, k) in zip(kls, spec.plane_specs)
+            0.3 * jax.random.normal(kl, (3, max(ru, rv), k), dtype)
+            for kl, (ru, rv, k) in zip(kls, spec.plane_specs)
         ),
     }
 
@@ -157,14 +162,15 @@ def _encode_chunk(factors, pts: jax.Array, spec: MXGridSpec) -> jax.Array:
     # all dense (hat matmul on the MXU + per-point contraction on the VPU)
     c = pts.shape[0]
     blocks = [out]
-    for lvl, (rp, kp) in enumerate(spec.plane_specs):
+    for lvl, (ru, rv, kp) in enumerate(spec.plane_specs):
         for i, (u, v, w) in enumerate(_PLANE_AXES):
-            hu = _hat1(pts[:, u], rp)  # [C, Rp]
-            hv = _hat1(pts[:, v], rp)
-            t = jnp.dot(hu, factors["planes"][lvl][i].reshape(rp, rp * kp),
-                        preferred_element_type=hu.dtype)  # [C, Rp*Kp]
-            f_pl = jnp.sum(t.reshape(c, rp, kp) * hv[:, :, None], axis=1)  # [C, Kp]
-            f_li = jnp.dot(_hat1(pts[:, w], rp), factors["plane_lines"][lvl][i],
+            hu = _hat1(pts[:, u], ru)  # [C, Ru]
+            hv = _hat1(pts[:, v], rv)
+            t = jnp.dot(hu, factors["planes"][lvl][i].reshape(ru, rv * kp),
+                        preferred_element_type=hu.dtype)  # [C, Rv*Kp]
+            f_pl = jnp.sum(t.reshape(c, rv, kp) * hv[:, :, None], axis=1)  # [C, Kp]
+            f_li = jnp.dot(_hat1(pts[:, w], max(ru, rv)),
+                           factors["plane_lines"][lvl][i],
                            preferred_element_type=hu.dtype)  # [C, Kp]
             blocks.append(f_pl * f_li)
     return jnp.concatenate(blocks, axis=-1)

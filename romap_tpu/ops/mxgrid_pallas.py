@@ -159,11 +159,11 @@ def _make_fwd_planes_kernel(plane_specs):
         mm = planes_refs[0].dtype
         t = x_ref.shape[1]
         row = 0
-        for lvl, (rp, kp) in enumerate(plane_specs):
-            bb = _plane_block(rp)
+        for lvl, (ru, rv, kp) in enumerate(plane_specs):
+            bb = _plane_block(rv)
             for i, (u, v, w) in enumerate(_PLANE_AXES):
-                hu = _hat1_t(x_ref[u, :], rp, mm)  # [R, T]
-                hv = _hat1_t(x_ref[v, :], rp, jnp.float32, rows=bb)  # [B, T]
+                hu = _hat1_t(x_ref[u, :], ru, mm)  # [Ru, T]
+                hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)  # [B, T]
                 t_all = jnp.dot(
                     planes_refs[lvl][i], hu, preferred_element_type=jnp.float32
                 )  # [Kp*B, T]
@@ -171,7 +171,7 @@ def _make_fwd_planes_kernel(plane_specs):
                     t_all.reshape(kp, bb, t) * hv[None], axis=1
                 )  # [Kp, T] — sublane-dim reduce, no lane crossing
                 f_li = jnp.dot(
-                    plines_refs[lvl][i], _hat1_t(x_ref[w, :], rp, mm),
+                    plines_refs[lvl][i], _hat1_t(x_ref[w, :], max(ru, rv), mm),
                     preferred_element_type=jnp.float32,
                 )  # [Kp, T]
                 fpl_ref[row : row + kp, :] = f_pl.astype(fpl_ref.dtype)
@@ -196,15 +196,15 @@ def _make_bwd_planes_kernel(plane_specs):
         mm = fpl_ref.dtype
         t = x_ref.shape[1]
         row = 0
-        for lvl, (rp, kp) in enumerate(plane_specs):
-            bb = _plane_block(rp)
+        for lvl, (ru, rv, kp) in enumerate(plane_specs):
+            bb = _plane_block(rv)
             for i, (u, v, w) in enumerate(_PLANE_AXES):
                 gi = g_ref[row : row + kp, :].astype(jnp.float32)  # [Kp, T]
                 f_pl = fpl_ref[row : row + kp, :].astype(jnp.float32)
                 f_li = fli_ref[row : row + kp, :].astype(jnp.float32)
-                hu = _hat1_t(x_ref[u, :], rp, mm)
-                hv = _hat1_t(x_ref[v, :], rp, jnp.float32, rows=bb)
-                hw = _hat1_t(x_ref[w, :], rp, mm)
+                hu = _hat1_t(x_ref[u, :], ru, mm)
+                hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)
+                hw = _hat1_t(x_ref[w, :], max(ru, rv), mm)
                 dplines_refs[lvl][i] += _dot_t((gi * f_pl).astype(mm), hw)
                 # d t_all[k*B+v, t] = hv[v, t] * (gi * f_li)[k, t]
                 prod = (
@@ -238,14 +238,14 @@ def _const_spec(shape):
 
 
 def _planes_t(factors, spec: MXGridSpec):
-    """Plane params [3, R, R, K] -> transposed channel-major [3, K*B, R]
-    (stored[i, k*B + v, u] = P[i, u, v, k], v padded to B)."""
+    """Plane params [3, Ru, Rv, K] -> transposed channel-major [3, K*B, Ru]
+    (stored[i, k*B + v, u] = P[i, u, v, k], v padded to B = block(Rv))."""
     out = []
-    for p, (r, k) in zip(factors["planes"], spec.plane_specs):
-        bb = _plane_block(r)
+    for p, (ru, rv, k) in zip(factors["planes"], spec.plane_specs):
+        bb = _plane_block(rv)
         q = p.transpose(0, 3, 2, 1)  # [3, K, V, U]
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, bb - r), (0, 0)))
-        out.append(q.reshape(3, k * bb, r))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, bb - rv), (0, 0)))
+        out.append(q.reshape(3, k * bb, ru))
     return out
 
 
@@ -349,12 +349,12 @@ def _bwd_impl(factors, pts, res, g, spec: MXGridSpec, interpret: bool):
     tile_spec = pl.BlockSpec((kout, PLANE_TILE), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     dplane_shapes = [
-        jax.ShapeDtypeStruct((3, kk * _plane_block(r), r), jnp.float32)
-        for r, kk in spec.plane_specs
+        jax.ShapeDtypeStruct((3, kk * _plane_block(rv), ru), jnp.float32)
+        for ru, rv, kk in spec.plane_specs
     ]
     dpline_shapes = [
-        jax.ShapeDtypeStruct((3, kk, r), jnp.float32)
-        for r, kk in spec.plane_specs
+        jax.ShapeDtypeStruct((3, kk, max(ru, rv)), jnp.float32)
+        for ru, rv, kk in spec.plane_specs
     ]
     outs = pl.pallas_call(
         _make_bwd_planes_kernel(spec.plane_specs),
@@ -374,11 +374,11 @@ def _bwd_impl(factors, pts, res, g, spec: MXGridSpec, interpret: bool):
     dt = lines.dtype
     return {
         "lines": dlines,
-        # [3, K*B, R] -> [3, K, B, R] -> drop v pad -> [3, R(u), R(v), K]
+        # [3, K*B, Ru] -> [3, K, B, Ru] -> drop v pad -> [3, Ru, Rv, K]
         "planes": tuple(
-            outs[l].reshape(3, kk, _plane_block(r), r)[:, :, :r, :]
+            outs[l].reshape(3, kk, _plane_block(rv), ru)[:, :, :rv, :]
             .transpose(0, 3, 2, 1).astype(dt)
-            for l, (r, kk) in enumerate(spec.plane_specs)
+            for l, (ru, rv, kk) in enumerate(spec.plane_specs)
         ),
         "plane_lines": tuple(
             outs[n_lvl + l].transpose(0, 2, 1).astype(dt) for l in range(n_lvl)

@@ -1,0 +1,159 @@
+"""Evaluation harness over the reference-format artifact tree.
+
+The reference's de-facto eval contract (SURVEY.md §3.4) is the
+`output/<objId>/{test_img,test_depth,test_mask,test.txt}` tree written by
+RenderTestImg (ref nerf.cu:255-404): held-out view renders that external
+tooling compares against dataset pixels. The reference ships NO in-repo
+metric code; this module closes that gap — per-object PSNR / SSIM on object
+pixels + mask IoU, against the dataset's rgb/ + instance/ images, written to
+a json.
+
+CLI:  python -m romap_tpu.utils.eval_psnr <output_dir> <dataset_dir>
+      [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _imread(path):
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        return None
+    if img.ndim == 3 and img.shape[2] == 3:
+        img = img[..., ::-1]  # BGR -> RGB
+    return img
+
+
+def _ssim(a: np.ndarray, b: np.ndarray) -> float:
+    """Global SSIM on [0,1] grayscale (single-window variant — adequate for
+    crop-sized comparisons; not the 11x11 gaussian-window flavor)."""
+    c1, c2 = 0.01**2, 0.03**2
+    mu_a, mu_b = a.mean(), b.mean()
+    va, vb = a.var(), b.var()
+    cov = ((a - mu_a) * (b - mu_b)).mean()
+    return float(
+        ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+        / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2))
+    )
+
+
+def _read_manifest(path):
+    views = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split()
+            views.append(
+                dict(stamp=parts[0], x=int(parts[1]), y=int(parts[2]),
+                     h=int(parts[3]), w=int(parts[4]))
+            )
+    return views
+
+
+def _stamp_to_image(dataset: str):
+    """stamp(float-normalized) -> rgb/instance paths via img.txt."""
+    table = {}
+    with open(os.path.join(dataset, "img.txt")) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            stamp, name = line.split()[:2]
+            table[f"{float(stamp):.6f}"] = name
+    return table
+
+
+def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
+    """Metrics for one object's artifact dir. Returns dict or None."""
+    manifest = os.path.join(obj_dir, "test.txt")
+    if not os.path.exists(manifest):
+        return None
+    views = _read_manifest(manifest)
+    stamp_map = _stamp_to_image(dataset)
+    psnrs, ssims, ious = [], [], []
+    for v in views:
+        name = stamp_map.get(f"{float(v['stamp']):.6f}")
+        if name is None:
+            continue
+        ren = _imread(os.path.join(obj_dir, "test_img", f"{v['stamp']}.png"))
+        msk = _imread(os.path.join(obj_dir, "test_mask", f"{v['stamp']}.png"))
+        gt_full = _imread(os.path.join(dataset, "rgb", name))
+        inst_full = _imread(os.path.join(dataset, "instance", name))
+        if ren is None or gt_full is None or inst_full is None:
+            continue
+        x, y, h, w = v["x"], v["y"], v["h"], v["w"]
+        gt = gt_full[y : y + h, x : x + w].astype(np.float32) / 255.0
+        inst = inst_full[y : y + h, x : x + w]
+        if inst.ndim == 3:
+            inst = inst[..., 0]
+        if instance_id is None:
+            obj_px = inst > 0
+        else:
+            obj_px = inst == instance_id
+        if gt.shape[:2] != ren.shape[:2] or obj_px.sum() < 16:
+            continue
+        renf = ren.astype(np.float32) / 255.0
+        mse = float(np.mean((renf[obj_px] - gt[obj_px]) ** 2))
+        psnrs.append(-10.0 * np.log10(max(mse, 1e-9)))
+        ga = renf[..., :3].mean(-1) * obj_px
+        gb = gt[..., :3].mean(-1) * obj_px
+        ssims.append(_ssim(ga, gb))
+        if msk is not None:
+            pred = (msk if msk.ndim == 2 else msk[..., 0]) > 127
+            union = (pred | obj_px).sum()
+            if union:
+                ious.append(float((pred & obj_px).sum()) / union)
+    if not psnrs:
+        return None
+    return {
+        "n_views": len(psnrs),
+        "psnr_db": round(float(np.mean(psnrs)), 2),
+        "ssim": round(float(np.mean(ssims)), 4),
+        "mask_iou": round(float(np.mean(ious)), 4) if ious else None,
+    }
+
+
+def evaluate_tree(output_dir: str, dataset: str) -> dict:
+    results = {}
+    for entry in sorted(os.listdir(output_dir)):
+        obj_dir = os.path.join(output_dir, entry)
+        if not (entry.isdigit() and os.path.isdir(obj_dir)):
+            continue
+        m = evaluate_object(obj_dir, dataset)
+        if m:
+            results[entry] = m
+    agg = {}
+    if results:
+        agg = {
+            "mean_psnr_db": round(
+                float(np.mean([m["psnr_db"] for m in results.values()])), 2),
+            "mean_mask_iou": round(
+                float(np.mean([m["mask_iou"] for m in results.values()
+                               if m["mask_iou"] is not None] or [0])), 4),
+        }
+    return {"objects": results, "aggregate": agg}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("output_dir")
+    ap.add_argument("dataset")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+    res = evaluate_tree(args.output_dir, args.dataset)
+    print(json.dumps(res, indent=1))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(res, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -132,3 +132,23 @@ def test_bfloat16_forward_and_grad_close_to_fp32():
         b = np.asarray(b)
         denom = np.maximum(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() / denom < 0.1
+
+
+def test_rect_planes_forward_and_grad_match_xla():
+    """Rectangular (ru != rv) plane levels — pallas vs XLA."""
+    s = mxgrid.make_mxspec(n_levels=2, base_resolution=4, max_resolution=16,
+                           features=8, plane_specs=((8, 24, 4),))
+    factors = mxgrid.init_mxgrid(jax.random.PRNGKey(11), s)
+    assert factors["planes"][0].shape == (3, 8, 24, 4)
+    pts = jnp.asarray(RNG.uniform(0, 1, (530, 3)), jnp.float32)
+    want = np.asarray(mxgrid.encode(factors, pts, s))
+    got = np.asarray(mxgrid_pallas.encode(factors, pts, s, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+    tgt = jnp.asarray(RNG.normal(size=(530, s.n_output_dims)), jnp.float32)
+    g_xla = jax.grad(lambda f: jnp.sum((mxgrid.encode(f, pts, s) - tgt) ** 2))(factors)
+    g_pl = jax.grad(lambda f: jnp.sum(
+        (mxgrid_pallas.encode(f, pts, s, interpret=True) - tgt) ** 2))(factors)
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-3)
