@@ -221,19 +221,28 @@ def generate_batch(
     s = cfg.train.samples_per_ray
     k_xy, k_color, k_jitter = jax.random.split(key, 3)
 
+    # Row lookups as one-hot matmuls (MXU) instead of gathers — bbox fields
+    # and pose entries are small ints / floats, exact in fp32.
     i = jnp.arange(r)
     idx_box = i % jnp.maximum(n_bbox, 1)
-    box = bboxes[idx_box]  # [R, 5] (fid, x, y, h, w)
-    fid, bx, by, bh, bw = box[:, 0], box[:, 1], box[:, 2], box[:, 3], box[:, 4]
+    oh_box = jax.nn.one_hot(idx_box, bboxes.shape[0], dtype=jnp.float32)
+    box = oh_box @ bboxes.astype(jnp.float32)  # [R, 5] (fid, x, y, h, w)
+    fid = box[:, 0].astype(jnp.int32)
+    bx, by = box[:, 1].astype(jnp.int32), box[:, 2].astype(jnp.int32)
+    bh, bw = box[:, 3], box[:, 4]
 
     u = jax.random.uniform(k_xy, (r, 2))
-    x = bx + (u[:, 0] * bw.astype(jnp.float32)).astype(jnp.int32)
-    y = by + (u[:, 1] * bh.astype(jnp.float32)).astype(jnp.int32)
+    x = bx + (u[:, 0] * bw).astype(jnp.int32)
+    y = by + (u[:, 1] * bh).astype(jnp.int32)
 
-    inst = frames.instance[fid, y, x].astype(jnp.int32)  # [R]
+    # Flat 1-D image gathers (cheapest gather form on TPU).
+    f, h, w = frames.instance.shape
+    lin = (fid * h + y) * w + x
+    inst = frames.instance.reshape(-1)[lin].astype(jnp.int32)  # [R]
     occluded = (inst != 0) & (inst != instance_id)
 
-    pose = frames.poses[fid]  # [R, 4, 4]
+    oh_f = jax.nn.one_hot(fid, f, dtype=jnp.float32)
+    pose = (oh_f @ frames.poses.reshape(f, 16)).reshape(r, 4, 4)
     o, d, d_norm = camera_rays(x, y, frames.intrinsics, pose, tow)
     tmin, tmax, hit = ray_aabb_intersect(o, d, aabb_min, aabb_max)
     tmin = jnp.maximum(tmin, 0.0)
@@ -241,24 +250,39 @@ def generate_batch(
     valid = hit & ~occluded
     is_obj = valid & (inst != 0)
 
-    rgb_pix = frames.pixels[fid, y, x].astype(jnp.float32) / 255.0
+    rgb_pix = frames.pixels.reshape(-1, 3)[lin].astype(jnp.float32) / 255.0
     colors = jax.random.uniform(k_color, (r, 3))
     rgb_target = jnp.where(is_obj[:, None], rgb_pix, colors)
 
     if use_depth:
-        depth_target = jnp.where(is_obj, frames.depth[fid, y, x] * d_norm, 0.0)
+        depth_target = jnp.where(
+            is_obj, frames.depth.reshape(-1)[lin] * d_norm, 0.0
+        )
     else:
         depth_target = jnp.zeros((r,), jnp.float32)
 
-    # Deterministic compaction + modular rollover.
-    order = jnp.argsort(~valid, stable=True)
-    n_valid = jnp.sum(valid)
+    # Deterministic compaction + modular rollover. The permutation that a
+    # stable argsort of ~valid would produce, built O(R) from cumsum ranks
+    # and one tiny scatter (cheaper than a bitonic sort on TPU).
+    cs_valid = jnp.cumsum(valid)
+    n_valid = cs_valid[-1]
+    rank = jnp.where(valid, cs_valid - 1, n_valid + jnp.cumsum(~valid) - 1)
+    order = jnp.zeros((r,), jnp.int32).at[rank].set(
+        i, unique_indices=True, mode="promise_in_bounds"
+    )
     take = order[i % jnp.maximum(n_valid, 1)]
 
-    o, d, d_norm = o[take], d[take], d_norm[take]
-    tmin, tmax = tmin[take], tmax[take]
-    rgb_target, depth_target = rgb_target[take], depth_target[take]
-    is_obj, colors = is_obj[take], colors[take]
+    # One stacked payload gather instead of nine.
+    payload = jnp.concatenate(
+        [o, d, d_norm[:, None], tmin[:, None], tmax[:, None], rgb_target,
+         depth_target[:, None], is_obj[:, None].astype(jnp.float32), colors],
+        axis=1,
+    )[take]
+    o, d = payload[:, 0:3], payload[:, 3:6]
+    d_norm, tmin, tmax = payload[:, 6], payload[:, 7], payload[:, 8]
+    rgb_target, depth_target = payload[:, 9:12], payload[:, 12]
+    is_obj = payload[:, 13] > 0.5
+    colors = payload[:, 14:17]
 
     jitter = jax.random.uniform(k_jitter, (r, s))
     t = stratified_distances(tmin, tmax, jitter, s)  # [R, S]
