@@ -42,7 +42,7 @@ from romap_tpu.ops.geometry import (
     warp_point,
 )
 from romap_tpu.ops.losses import RayBatch, composite_loss
-from romap_tpu.ops.mlp import apply_mlp, init_mlp
+from romap_tpu.ops.mlp import apply_mlp, apply_mlp_t, init_mlp
 from romap_tpu.ops.render import render_composite, volume_render
 
 
@@ -92,6 +92,7 @@ def field_apply(
             cd = "float32" if jax.default_backend() == "cpu" else "bfloat16"
         dtype = jnp.bfloat16 if cd == "bfloat16" else jnp.float32
     table = jax.tree.map(lambda a: a.astype(dtype), params["table"])
+    mlp = jax.tree.map(lambda a: a.astype(dtype), params["mlp"])
     if isinstance(spec, mxgrid.MXGridSpec):
         impl = cfg.encoding.mx_impl
         if impl == "pallas" or (
@@ -99,12 +100,14 @@ def field_apply(
         ):
             from romap_tpu.ops import mxgrid_pallas
 
-            feats = mxgrid_pallas.encode(table, points, spec)
-        else:
-            feats = mxgrid.encode(table, points, spec)
+            # Points-in-lanes end to end: transposed encode + transposed
+            # MLP, one small [4, P] transpose at the very end.
+            feats_t = mxgrid_pallas.encode_t(table, points, spec)
+            raw_t = apply_mlp_t(mlp, feats_t.astype(dtype), cfg.network)
+            return raw_t.T.reshape(*points.shape[:-1], raw_t.shape[0])
+        feats = mxgrid.encode(table, points, spec)
     else:
         feats = hashgrid.encode(table, points, spec)
-    mlp = jax.tree.map(lambda a: a.astype(dtype), params["mlp"])
     return apply_mlp(mlp, feats.astype(dtype), cfg.network)
 
 

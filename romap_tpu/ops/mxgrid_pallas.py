@@ -305,26 +305,35 @@ def _planes_forward(factors, xt, npad, spec: MXGridSpec, interpret: bool):
     )(xt, *planes, *plines)
 
 
-def _fwd_impl(factors, pts, spec: MXGridSpec, interpret: bool):
+def _fwd_impl_t(factors, pts, spec: MXGridSpec, interpret: bool):
+    """Transposed forward: returns out [kout, n] (points in lanes)."""
     xt, n, npad = _pad_and_tile(pts, TILE)
     afac = _cp_forward(factors, xt, npad, spec, interpret)
     out_cp = afac[0] * afac[1] * afac[2]  # [K, npad]
     if not spec.plane_specs:
-        return out_cp.T[:n], (afac, None, None)
+        return out_cp[:, :n], (afac, None, None)
     xt_pl, _, npad_pl = _pad_and_tile(pts, PLANE_TILE)
     fpl, fli = _planes_forward(factors, xt_pl, npad_pl, spec, interpret)
-    out = jnp.concatenate(
-        [out_cp[:, :n], (fpl * fli)[:, :n]], axis=0
-    ).T  # one [kout, P] -> [P, kout] transpose in XLA
+    out = jnp.concatenate([out_cp[:, :n], (fpl * fli)[:, :n]], axis=0)
     return out, (afac, fpl, fli)
 
 
+def _fwd_impl(factors, pts, spec: MXGridSpec, interpret: bool):
+    out_t, res = _fwd_impl_t(factors, pts, spec, interpret)
+    return out_t.T, res  # one [kout, P] -> [P, kout] transpose in XLA
+
+
 def _bwd_impl(factors, pts, res, g, spec: MXGridSpec, interpret: bool):
+    return _bwd_impl_t(factors, pts, res, g.T, spec, interpret)
+
+
+def _bwd_impl_t(factors, pts, res, g_in, spec: MXGridSpec, interpret: bool):
+    """Backward from a transposed cotangent g_in [kout, n]."""
     afac, fpl, fli = res
     a, b, rp = _column_consts(spec)
     k = spec.features
     xt, n, npad = _pad_and_tile(pts, TILE)
-    g_t = jnp.pad(g, ((0, npad - n), (0, 0))).T  # [kout, npad]
+    g_t = jnp.pad(g_in, ((0, 0), (0, npad - n)))  # [kout, npad]
     lines = _lines_of(factors)
     grid = npad // TILE
 
@@ -348,7 +357,7 @@ def _bwd_impl(factors, pts, res, g, spec: MXGridSpec, interpret: bool):
         return dlines
 
     xt_pl, _, npad_pl = _pad_and_tile(pts, PLANE_TILE)
-    g_pl = jnp.pad(g[:, k:], ((0, npad_pl - n), (0, 0))).T  # [kout_pl, npad]
+    g_pl = jnp.pad(g_in[k:, :], ((0, 0), (0, npad_pl - n)))  # [kout_pl, npad]
     kout = spec.plane_out_dims
     grid_pl = npad_pl // PLANE_TILE
     tile_spec = pl.BlockSpec((kout, PLANE_TILE), lambda i: (0, i),
@@ -414,6 +423,30 @@ def _vjp_bwd(spec, interpret, saved, g):
 encode_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def encode_pallas_t(factors, pts, spec: MXGridSpec, interpret: bool = False):
+    """Transposed variant: [P, 3] points -> [n_output_dims, P]. Keeping the
+    output points-in-lanes lets the MLP run transposed too, so the only
+    layout change in the whole field is a tiny [4, P] transpose at the end
+    (instead of [kout, P] fwd + [P, kout] bwd relayouts)."""
+    out, _ = _fwd_impl_t(factors, pts, spec, interpret)
+    return out
+
+
+def _vjp_fwd_t(factors, pts, spec, interpret):
+    out, res = _fwd_impl_t(factors, pts, spec, interpret)
+    return out, (factors, pts, res)
+
+
+def _vjp_bwd_t(spec, interpret, saved, g):
+    factors, pts, res = saved
+    dw = _bwd_impl_t(factors, pts, res, g, spec, interpret)
+    return dw, jnp.zeros_like(pts)
+
+
+encode_pallas_t.defvjp(_vjp_fwd_t, _vjp_bwd_t)
+
+
 def encode(factors, p: jax.Array, spec: MXGridSpec,
            interpret: bool = False) -> jax.Array:
     """Drop-in for mxgrid.encode with arbitrary batch shape."""
@@ -421,3 +454,10 @@ def encode(factors, p: jax.Array, spec: MXGridSpec,
     pts = p.reshape(-1, 3).astype(jnp.float32)
     out = encode_pallas(factors, pts, spec, interpret)
     return out.reshape(*batch_shape, spec.n_output_dims)
+
+
+def encode_t(factors, p: jax.Array, spec: MXGridSpec,
+             interpret: bool = False) -> jax.Array:
+    """Transposed encode: [..., 3] -> [n_output_dims, P] (P = prod batch)."""
+    pts = p.reshape(-1, 3).astype(jnp.float32)
+    return encode_pallas_t(factors, pts, spec, interpret)

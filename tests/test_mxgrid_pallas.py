@@ -152,3 +152,40 @@ def test_rect_planes_forward_and_grad_match_xla():
     for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=1e-3)
+
+
+def test_transposed_encode_and_mlp_match_untransposed():
+    """encode_t + apply_mlp_t must equal encode + apply_mlp (the training
+    path runs fully transposed, points in lanes)."""
+    from romap_tpu.config import NetworkConfig
+    from romap_tpu.ops.mlp import apply_mlp, apply_mlp_t, init_mlp
+
+    s = mxgrid.make_mxspec(n_levels=3, base_resolution=4, max_resolution=32,
+                           features=16, plane_res=24, plane_features=8)
+    factors = mxgrid.init_mxgrid(jax.random.PRNGKey(3), s)
+    pts = jnp.asarray(RNG.uniform(0, 1, (700, 3)), jnp.float32)
+    out = mxgrid_pallas.encode(factors, pts, s, interpret=True)
+    out_t = mxgrid_pallas.encode_t(factors, pts, s, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_t.T), np.asarray(out),
+                               rtol=1e-5, atol=1e-6)
+
+    ncfg = NetworkConfig()
+    mlp = init_mlp(jax.random.PRNGKey(4), s.n_output_dims, ncfg)
+    raw = apply_mlp(mlp, out, ncfg)
+    raw_t = apply_mlp_t(mlp, out_t, ncfg)
+    np.testing.assert_allclose(np.asarray(raw_t.T), np.asarray(raw),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients through the transposed path match the untransposed path
+    tgt = jnp.asarray(RNG.normal(size=(s.n_output_dims, 700)), jnp.float32)
+
+    def loss_plain(f):
+        return jnp.sum((mxgrid_pallas.encode(f, pts, s, interpret=True) - tgt.T) ** 2)
+
+    def loss_t(f):
+        return jnp.sum((mxgrid_pallas.encode_t(f, pts, s, interpret=True) - tgt) ** 2)
+
+    g0 = jax.grad(loss_plain)(factors)
+    g1 = jax.grad(loss_t)(factors)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g0, g1)
