@@ -74,6 +74,15 @@ class ObjectMap {
 
   void InsertHistoryBboxAndTwc(const FrameContext& frame, const Bbox& bbox);
 
+  // Silhouette-cone center: least-squares intersection of the bbox-center
+  // viewing rays across the observation history. Corrects the depth bias of
+  // the point-extent midpoint (triangulated points all lie on the VISIBLE
+  // surface, so the midpoint sits in front of the true centroid). Fails —
+  // returns false — when the ray bundle has too little angular baseline to
+  // condition the depth. Goes beyond the reference (which keeps the biased
+  // midpoint, ref src/ObjectMap.cc:286-315).
+  bool SilhouetteCenter(Vec3* out) const;
+
   void SetBad(const std::string& reason);
   bool IsBad() const { return bad_; }
 
@@ -107,6 +116,8 @@ class ObjectMap {
 
   std::map<double, Bbox> history_bbox;          // stamp -> detection
   std::map<double, Mat4> history_twc;           // stamp -> camera pose
+  CameraModel hist_cam;                          // intrinsics of the history
+  bool have_hist_cam = false;
   std::map<double, Bbox> keyframe_history_bbox;  // stamps that became KFs
   std::map<double, Bbox> keyframe_bbox_pending;  // not yet sent to the NeRF
   std::map<ObjectMap*, int> appear_same_times;   // covisibility counts

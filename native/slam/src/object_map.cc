@@ -259,6 +259,14 @@ void ObjectMap::EstimatePose(const FrameContext& frame) {
   for (int a = 0; a < 3; ++a)
     axis_length = std::max(axis_length, (hi[a] - lo[a]) / 2);
 
+  // Silhouette-cone refinement (beyond reference): replace the visible-
+  // surface-biased midpoint with the ray-bundle intersection when the
+  // baseline conditions it and it lands near the point cloud.
+  Vec3 sil;
+  if (SilhouetteCenter(&sil) &&
+      cv::norm(sil - t_wobj) < 2.0f * std::max(axis_length, 0.05f))
+    t_wobj = sil;
+
   // yaw hypotheses scored against image lines (ref :328-396)
   if (latest_lines.size() > 2 && !last_bbox.edge_and_small) {
     float best_yaw = 0, best_score = 0;
@@ -381,11 +389,20 @@ void ObjectMap::EstimateShape() {
   }
   if (have_nerf) return;  // frozen once a NeRF owns the box (ref :661-662)
 
-  Vec3 t_shape(-(lo[0] + hi[0]) / 2, -(lo[1] + hi[1]) / 2, -(lo[2] + hi[2]) / 2);
+  // Mirrored extents about the (possibly silhouette-refined) centroid:
+  // points live only on the visible surface, so raw lo/hi extents miss the
+  // unseen half — the farther visible half, mirrored, is the symmetric
+  // completion. With the plain midpoint center this reduces exactly to the
+  // reference's (hi-lo)/2 (ref src/ObjectMap.cc:613-672).
+  Vec3 qc = r * t_obj_w.inverse().t;  // centroid in the rotated frame
+  float ext[3];
+  for (int a = 0; a < 3; ++a)
+    ext[a] = std::max(std::abs(hi[a] - qc[a]), std::abs(qc[a] - lo[a]));
+  Vec3 t_shape(-qc[0], -qc[1], -qc[2]);
   shape.t_obj_w = SE3{r, t_shape};
-  shape.a1 = std::abs(hi[0] - lo[0]) / 2;
-  shape.a2 = std::abs(hi[1] - lo[1]) / 2;
-  shape.a3 = std::abs(hi[2] - lo[2]) / 2;
+  shape.a1 = ext[0];
+  shape.a2 = ext[1];
+  shape.a3 = ext[2];
   shape.max_dist = std::sqrt(shape.a1 * shape.a1 + shape.a2 * shape.a2 +
                              shape.a3 * shape.a3);
 }
@@ -502,6 +519,51 @@ void ObjectMap::InsertHistoryBboxAndTwc(const FrameContext& frame,
                                         const Bbox& bbox) {
   history_bbox[frame.timestamp] = bbox;
   history_twc[frame.timestamp] = frame.tcw.inverse().matrix();
+  hist_cam = frame.cam;
+  have_hist_cam = true;
+}
+
+bool ObjectMap::SilhouetteCenter(Vec3* out) const {
+  if (!have_hist_cam || history_bbox.size() < 8) return false;
+  // x* = argmin sum_i || (I - d_i d_i^T)(x - o_i) ||^2  (closed form 3x3)
+  cv::Matx33d A = cv::Matx33d::zeros();
+  cv::Vec3d rhs(0, 0, 0);
+  int n = 0;
+  for (const auto& kv : history_bbox) {
+    auto it = history_twc.find(kv.first);
+    if (it == history_twc.end()) continue;
+    const Bbox& bb = kv.second;
+    if (bb.edge_and_small) continue;  // clipped box: center unreliable
+    const Mat4& twc = it->second;
+    float u = bb.rect.x + bb.rect.width * 0.5f;
+    float v = bb.rect.y + bb.rect.height * 0.5f;
+    cv::Vec3d d_cam((u - hist_cam.cx) / hist_cam.fx,
+                    (v - hist_cam.cy) / hist_cam.fy, 1.0);
+    cv::Vec3d d(0, 0, 0), o(twc(0, 3), twc(1, 3), twc(2, 3));
+    for (int r = 0; r < 3; ++r)
+      for (int c = 0; c < 3; ++c) d[r] += twc(r, c) * d_cam[c];
+    d /= cv::norm(d);
+    cv::Matx33d p = cv::Matx33d::eye();
+    for (int r = 0; r < 3; ++r)
+      for (int c = 0; c < 3; ++c) p(r, c) -= d[r] * d[c];
+    A += p;
+    for (int r = 0; r < 3; ++r) rhs[r] += p(r, 0) * o[0] + p(r, 1) * o[1] +
+                                          p(r, 2) * o[2];
+    ++n;
+  }
+  if (n < 8) return false;
+  // conditioning: the smallest eigenvalue of A/n is ~sin^2 of the angular
+  // spread of the ray bundle — with parallel rays the depth is unobservable
+  cv::Matx33d an = A * (1.0 / n);
+  cv::Vec3d eig;
+  cv::eigen(cv::Mat(an), eig);
+  if (eig[2] < 5e-3) return false;
+  cv::Mat xm;
+  if (!cv::solve(cv::Mat(A), cv::Mat(rhs), xm, cv::DECOMP_SVD)) return false;
+  *out = Vec3(static_cast<float>(xm.at<double>(0)),
+              static_cast<float>(xm.at<double>(1)),
+              static_cast<float>(xm.at<double>(2)));
+  return true;
 }
 
 float ObjectMap::CuboidOverlapRatio(const ObjectMap* other) const {

@@ -229,13 +229,17 @@ int main(int argc, char** argv) {
       cv::norm(center_est - world.sphere_center));
   std::printf("object center err: %.3f (est %.2f %.2f %.2f)\n", center_err,
               center_est[0], center_est[1], center_est[2]);
-  CHECK(center_err < 0.5f);
+  // the silhouette-cone center refinement corrects the visible-surface
+  // depth bias; round-1 (point-extent midpoint only) measured 0.21 here
+  CHECK(center_err < 0.12f);
   obj->EstimateShape();
   std::printf("half extents: %.2f %.2f %.2f (true r=%.2f), nerfs=%d pushes=%d\n",
               obj->shape.a1 * scale, obj->shape.a2 * scale,
               obj->shape.a3 * scale, world.sphere_r, created_nerfs,
               bbox_pushes);
-  CHECK(std::abs(obj->shape.a1 * scale - world.sphere_r) < 0.25f);
+  CHECK(std::abs(obj->shape.a1 * scale - world.sphere_r) < 0.15f);
+  CHECK(std::abs(obj->shape.a2 * scale - world.sphere_r) < 0.15f);
+  CHECK(std::abs(obj->shape.a3 * scale - world.sphere_r) < 0.15f);
   CHECK(created_nerfs >= 1);
   CHECK(bbox_pushes >= 6);
 
