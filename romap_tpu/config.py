@@ -39,13 +39,14 @@ class EncodingConfig:
     log2_hashmap_size: int = 16
     base_resolution: int = 16
     desired_resolution: float = 2048.0
-    # mxgrid knobs — flagship defaults picked by the round-2 speed/quality
-    # ladder on v5e (QUALITY.json): CP 7 levels to 512 @ 64ch + one
-    # (128,128,8) plane level was both the fastest (238 obj-iters/s) and the
-    # best 5000-step PSNR (28.84 dB, vs 28.4 for the round-1 8/1024+16ch
-    # config and 27.9-28.8 for every wider/rectangular variant).
-    mx_levels: int = 7
-    mx_max_resolution: int = 512
+    # mxgrid knobs — flagship defaults picked by the round-3 speed/quality
+    # ladder on v5e (QUALITY.json speeds_r3): CP 6 levels to 256 @ 64ch +
+    # one (128,128,8) plane level is both the fastest (403 obj-iters/s) AND
+    # the best-value 5000-step PSNR (29.29 dB vs 28.84 for 7 levels to 512
+    # at 344 obj-iters/s; the extra 512 CP level measurably hurt quality on
+    # the adversarial scene while costing 17%).
+    mx_levels: int = 6
+    mx_max_resolution: int = 256
     mx_features: int = 64
     # VM plane-x-line components (TensoRF-style): restore full-rank texture
     # capacity that rank-limited CP lines lack. 0 disables.
