@@ -26,7 +26,7 @@ from romap_tpu.models import nerf
 from romap_tpu.ops import marching_cubes as mc
 from romap_tpu.runtime.renderer import orbit_poses, render_view
 from romap_tpu.utils.camera import rot_to_quat
-from romap_tpu.utils.mesh_io import save_ply
+from romap_tpu.utils.mesh_io import save_obj, save_ply
 
 
 def _imwrite_rgb(path: str, rgb01: np.ndarray) -> None:
@@ -84,6 +84,7 @@ def render_test_artifacts(
     cfg,
     spec,
     video: bool = True,
+    unwrap_obj: bool = True,
 ) -> str:
     """Write the full per-object artifact tree; returns the object dir."""
     base = os.path.join(out_path, str(obj_id))
@@ -144,4 +145,8 @@ def render_test_artifacts(
     # --- mesh -------------------------------------------------------------------
     mesh = extract_object_mesh(params_one, aabb_min, aabb_max, cfg, spec)
     save_ply(mesh, os.path.join(base, "obj.ply"))
+    if unwrap_obj and len(mesh.faces):
+        # UV-unwrapped OBJ + mtl + baked TGA atlas (ref save_mesh unwrap_it,
+        # marching_cubes.cu:522-650)
+        save_obj(mesh, os.path.join(base, "obj.obj"), unwrap=True)
     return base

@@ -103,3 +103,41 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(back.colors, mesh.colors, atol=1 / 255.0 + 1e-6)
     save_obj(mesh, str(tmp_path / "m.obj"))  # smoke
     assert (tmp_path / "m.obj").read_text().startswith("v ")
+
+
+def test_obj_uv_unwrap_and_tga(tmp_path):
+    """UV-unwrapped OBJ: reference chart layout (ref marching_cubes.cu:
+    522-650) — vt per face corner, mtl + TGA atlas; baked texel at a chart
+    corner must equal that corner's vertex color."""
+    import numpy as np
+
+    from romap_tpu.ops.marching_cubes import Mesh
+    from romap_tpu.utils import mesh_io
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [2, 1, 3]], np.int32)
+    colors = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], np.float32)
+    normals = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    mesh = Mesh(verts=verts, faces=faces, normals=normals, colors=colors)
+    path = str(tmp_path / "m.obj")
+    mesh_io.save_obj(mesh, path, unwrap=True)
+
+    txt = open(path).read().splitlines()
+    vts = [l for l in txt if l.startswith("vt ")]
+    assert len(vts) == 3 * len(faces)
+    assert txt[0].startswith("mtllib ")
+    assert (tmp_path / "m.mtl").exists()
+
+    # TGA: parse header, check dims, check a baked corner texel
+    raw = open(tmp_path / "m.tga", "rb").read()
+    assert raw[2] == 2 and raw[16] == 24
+    w = raw[12] | (raw[13] << 8)
+    h = raw[14] | (raw[15] << 8)
+    img = np.frombuffer(raw[18:], np.uint8).reshape(h, w, 3)[..., ::-1]
+    _, nqx, nqy, qx, qy = mesh_io._quad_layout(len(faces))
+    assert (w, h) == (qx * nqx, qy * nqy)
+    # chart corner (0,0) of quad 0 is triangle 0's corner 0 = vertex
+    # faces[0][0] = 0, color red
+    np.testing.assert_array_equal(img[0, 0], [255, 0, 0])
+    # even-triangle texel (0, d) is corner 2 = vertex 2, blue
+    np.testing.assert_array_equal(img[qy - 1, 0], [0, 0, 255])
