@@ -307,6 +307,22 @@ int main(int argc, char** argv) {
         };
   }
 
+  // live viewer dump: every N frames rewrite the artifact text files so
+  // `python -m romap_tpu.utils.webviewer <out_dir>` shows the session live
+  // (env ROMAP_LIVE_DUMP=N; the reference's Pangolin window equivalent).
+  int live_dump = 0;
+  if (const char* ld = std::getenv("ROMAP_LIVE_DUMP")) live_dump = std::atoi(ld);
+  auto dump_state = [&]() {
+    SaveTrajectoryTUM(out_dir + "/FrameTrajectory.txt", tracker.trajectory());
+    SaveObjects(out_dir + "/objects.txt", tracker.map().Objects());
+    FILE* f = std::fopen((out_dir + "/map_points.txt").c_str(), "w");
+    if (!f) return;
+    for (const MapPoint* p : tracker.map().Points())
+      if (p && !p->bad)
+        std::fprintf(f, "%.4f %.4f %.4f\n", p->pos[0], p->pos[1], p->pos[2]);
+    std::fclose(f);
+  };
+
   // main loop (ref examples/Monocular/mono_tum.cc:85-103)
   int tracked = 0;
   for (size_t i = 0; i < std::min(max_frames, ds.stamps.size()); ++i) {
@@ -322,6 +338,7 @@ int main(int argc, char** argv) {
     auto dets = ReadBboxFile(dataset + "/bbox/" + ds.stamps[i] + ".txt", ds);
     double t = std::atof(ds.stamps[i].c_str());
     if (tracker.Track(gray, instance, dets, t, bgr)) ++tracked;
+    if (live_dump > 0 && i % live_dump == 0) dump_state();
   }
   tracker.StopMapping();  // drain the keyframe queue before finalizing
   tracker.FinalizeObjects();
@@ -366,8 +383,7 @@ int main(int argc, char** argv) {
     }
   }
 
-  SaveTrajectoryTUM(out_dir + "/FrameTrajectory.txt", tracker.trajectory());
-  SaveObjects(out_dir + "/objects.txt", tracker.map().Objects());
+  dump_state();  // FrameTrajectory.txt + objects.txt + map_points.txt
   std::printf("saved trajectories + objects to %s\n", out_dir.c_str());
   return 0;
 }
