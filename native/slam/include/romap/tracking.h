@@ -22,6 +22,7 @@
 
 #include <opencv2/core.hpp>
 
+#include "romap/bow.h"
 #include "romap/features.h"
 #include "romap/frame.h"
 #include "romap/map.h"
@@ -140,6 +141,11 @@ class Tracker {
   OrbExtractor orb_;
   Map map_;
   State state_ = State::kNotInitialized;
+
+  // place recognition (BoW-lite; the reference's DBoW2 + KeyFrameDatabase
+  // role, ref src/KeyFrameDatabase.cc, src/System.cc:53-66)
+  BowVocabulary voc_;
+  KeyFrameDatabase kfdb_{&voc_};
 
   Frame cur_, last_;
   Frame init_ref_;

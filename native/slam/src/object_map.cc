@@ -392,12 +392,28 @@ void ObjectMap::EstimateShape() {
   // Mirrored extents about the (possibly silhouette-refined) centroid:
   // points live only on the visible surface, so raw lo/hi extents miss the
   // unseen half — the farther visible half, mirrored, is the symmetric
-  // completion. With the plain midpoint center this reduces exactly to the
-  // reference's (hi-lo)/2 (ref src/ObjectMap.cc:613-672).
+  // completion (with the plain midpoint center this reduces exactly to the
+  // reference's (hi-lo)/2, ref src/ObjectMap.cc:613-672). Mirroring doubles
+  // the leverage of a single stray point, so on clouds big enough to spare
+  // one the extent uses the SECOND-largest |q - c| per axis (trimmed max).
   Vec3 qc = r * t_obj_w.inverse().t;  // centroid in the rotated frame
   float ext[3];
-  for (int a = 0; a < 3; ++a)
-    ext[a] = std::max(std::abs(hi[a] - qc[a]), std::abs(qc[a] - lo[a]));
+  for (int a = 0; a < 3; ++a) {
+    float m1 = 0, m2 = 0;  // largest / second-largest |q_a - c_a|
+    int n = 0;
+    for (const MapPoint* p : points) {
+      if (p->bad) continue;
+      float v = std::abs((r * p->pos)[a] - qc[a]);
+      if (v > m1) {
+        m2 = m1;
+        m1 = v;
+      } else if (v > m2) {
+        m2 = v;
+      }
+      ++n;
+    }
+    ext[a] = (n >= 30) ? m2 : m1;
+  }
   Vec3 t_shape(-qc[0], -qc[1], -qc[2]);
   shape.t_obj_w = SE3{r, t_shape};
   shape.a1 = ext[0];

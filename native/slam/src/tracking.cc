@@ -175,12 +175,16 @@ bool Tracker::TrackReferenceKeyFrame() {
 
 bool Tracker::Relocalize() {
   // ref Tracking::Relocalization (src/Tracking.cc:566-623 + PnPsolver.cc):
-  // the reference votes candidates via the DBoW2 KeyFrameDatabase; at
-  // object-mapping map sizes brute-force descriptor matching against the
-  // most recent keyframes gives the same recall without a vocabulary.
-  auto kfs = map_.KeyFrames();
+  // candidates come from the BoW inverted index once the online vocabulary
+  // has trained (the reference's DBoW2 KeyFrameDatabase vote); before that
+  // — or as a supplement — the most recent keyframes are brute-forced.
+  std::vector<KeyFrame*> kfs;  // priority order: BoW votes, then recency
+  if (voc_.trained()) kfs = kfdb_.Query(cur_.descriptors, 8);
+  auto recent = map_.KeyFrames();
+  for (auto it = recent.rbegin(); it != recent.rend() && kfs.size() < 13; ++it)
+    if (std::find(kfs.begin(), kfs.end(), *it) == kfs.end()) kfs.push_back(*it);
   int tried = 0;
-  for (auto it = kfs.rbegin(); it != kfs.rend() && tried < 10; ++it, ++tried) {
+  for (auto it = kfs.begin(); it != kfs.end() && tried < 13; ++it, ++tried) {
     std::fill(cur_.points.begin(), cur_.points.end(), nullptr);
     int n = SearchByBruteForce(cur_, **it);
     if (n < 15) continue;
@@ -205,6 +209,7 @@ void Tracker::Reset() {
     kf_queue_.clear();  // queued KeyFrame* die with the map
   }
   map_.Clear();
+  kfdb_.Clear();  // indexed KeyFrame* die with the map (vocab stays trained)
   recent_points_.clear();
   first_view_dir_.clear();
   last_pushed_dir_.clear();
@@ -441,6 +446,13 @@ KeyFrame* Tracker::MakeKeyFrame(const cv::Mat& /*rgb*/, const cv::Mat& /*instanc
     } else {
       kf->points[i] = nullptr;
     }
+  }
+  // place recognition: feed the vocabulary; once it trains, backfill the
+  // inverted index with every existing keyframe, then index incrementally
+  if (voc_.TrainAccumulate(kf->descriptors)) {
+    for (KeyFrame* old : map_.KeyFrames()) kfdb_.Add(old);
+  } else if (voc_.trained()) {
+    kfdb_.Add(kf);
   }
   return kf;
 }
