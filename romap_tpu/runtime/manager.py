@@ -90,6 +90,7 @@ class NerfManagerOnline:
         self._wave_count = np.zeros(capacity, np.int64)
         self._meshes: dict[int, object] = {}
         self._objs: dict[str, np.ndarray] | None = None
+        self._precompiled: set[int] = set()  # capacities with a warm jit
 
         self._thread: threading.Thread | None = None
         self._finish = threading.Event()
@@ -142,6 +143,16 @@ class NerfManagerOnline:
                 self._grow()
             idx = self._n_objects
             self._n_objects += 1
+            # warm the next capacity's jit off-thread once 3/4 full, so the
+            # doubling in _grow never stalls the online pipeline for a
+            # 30-300 s recompile (remote-TPU compile times)
+            if (self._n_objects * 4 >= self.capacity * 3
+                    and self.capacity * 2 not in self._precompiled):
+                self._precompiled.add(self.capacity * 2)
+                threading.Thread(
+                    target=self._precompile, args=(self.capacity * 2,),
+                    daemon=True,
+                ).start()
             scale = 1.2 if cls in (41, 73) else 1.1
             self._objs["aabb_min"][idx] = np.asarray(bbox_min, np.float32) * scale
             self._objs["aabb_max"][idx] = np.asarray(bbox_max, np.float32) * scale
@@ -156,6 +167,27 @@ class NerfManagerOnline:
         """Block (lock held via the condition) until no wave is in flight."""
         while self._train_busy:
             self._cond.wait()
+
+    def _precompile(self, cap: int) -> None:
+        """Compile (and cache) the train step for a future capacity by
+        running one dummy wave at that shape; results are discarded. Runs on
+        a daemon thread — jit compilation is thread-safe and the brief dummy
+        execution interleaves with real waves via XLA's stream."""
+        try:
+            with self._lock:
+                frames = self.store.arrays()
+            state = nerf.init_train_state(
+                jax.random.PRNGKey(0), cap, self.cfg, self.spec
+            )
+            objs = nerf.empty_objects(cap, self._max_bboxes)
+            state = nerf.train_objects(
+                state, objs, frames, self.cfg, self.spec,
+                self.iters_per_wave, self.use_depth,
+            )
+            jax.device_get(state.loss)
+        except Exception:
+            with self._lock:
+                self._precompiled.discard(cap)  # retry on the next create
 
     def _grow(self) -> None:
         """Double the slot capacity (re-inits padding params; recompile on
