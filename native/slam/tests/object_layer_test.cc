@@ -235,6 +235,53 @@ int TestTTable() {
   return 0;
 }
 
+int TestSilhouetteCenter() {
+  // bbox-center rays from cameras on an arc around a known object center
+  // must intersect at that center; with near-parallel rays (no baseline)
+  // the solver must refuse (conditioning gate).
+  ObjectConfig cfg;
+  Vec3 true_c(0.2f, -0.1f, 0.0f);
+  float r = 0.4f;
+
+  auto run = [&](float arc, int n_views, bool expect_ok) {
+    ObjectMap obj(63, 0, cfg);
+    for (int i = 0; i < n_views; ++i) {
+      float a = arc * (i / std::max(1.0f, n_views - 1.0f) - 0.5f);
+      Vec3 cam_pos(true_c[0] + 4.0f * std::sin(a), true_c[1],
+                   true_c[2] - 4.0f * std::cos(a));
+      FrameContext f = MakeFrame(cam_pos, i);
+      // aim the camera at the object (MakeFrame aims at the origin; the
+      // offset center projects off-axis, which is exactly the general case)
+      Vec3 c_cam = f.tcw * true_c;
+      cv::Point2f uv = f.cam.Project(c_cam);
+      float radius_px = f.cam.fx * r / c_cam[2];
+      Bbox bb;
+      bb.rect = {uv.x - radius_px, uv.y - radius_px, 2 * radius_px,
+                 2 * radius_px};
+      bb.cls = 63;
+      obj.InsertHistoryBboxAndTwc(f, bb);
+    }
+    Vec3 est;
+    bool ok = obj.SilhouetteCenter(&est);
+    if (ok != expect_ok) {
+      std::printf("silhouette: ok=%d want %d (arc %.2f)\n", ok, expect_ok, arc);
+      return 1;
+    }
+    if (ok) {
+      float err = static_cast<float>(cv::norm(est - true_c));
+      std::printf("silhouette center err %.4f (arc %.2f rad)\n", err, arc);
+      if (err > 0.05f) return 1;
+    }
+    return 0;
+  };
+
+  int rc = 0;
+  rc |= run(0.9f, 12, true);    // wide arc: well conditioned
+  rc |= run(0.002f, 12, false); // parallel rays: depth unobservable -> refuse
+  rc |= run(0.9f, 5, false);    // too few views -> refuse
+  return rc;
+}
+
 }  // namespace
 
 int main() {
@@ -246,6 +293,7 @@ int main() {
   rc |= TestPoseFromLinesAndShape();
   rc |= TestAssociationAndMerge();
   rc |= TestTTable();
+  rc |= TestSilhouetteCenter();
   if (rc == 0) std::printf("object_layer_test: ALL OK\n");
   return rc;
 }
