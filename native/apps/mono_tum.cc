@@ -160,6 +160,22 @@ void SaveTrajectoryTUM(const std::string& path,
   }
 }
 
+void SaveKeyFrameTrajectoryTUM(const std::string& path,
+                               const std::vector<KeyFrame*>& kfs) {
+  // ref System::SaveKeyFrameTrajectoryTUM src/System.cc:431-466
+  std::ofstream f(path);
+  for (const KeyFrame* kf : kfs) {
+    SE3 twc = kf->Twc();
+    float q[4];
+    RotToQuat(twc.R, q);
+    char buf[256];
+    std::snprintf(buf, sizeof(buf), "%.6f %.7f %.7f %.7f %.7f %.7f %.7f %.7f\n",
+                  kf->timestamp, twc.t[0], twc.t[1], twc.t[2], q[0], q[1],
+                  q[2], q[3]);
+    f << buf;
+  }
+}
+
 void SaveObjects(const std::string& path, const std::vector<ObjectMap*>& objs) {
   // ref System::SaveObjects src/System.cc:529-563: ID class t q a1 a2 a3
   std::ofstream f(path);
@@ -314,6 +330,8 @@ int main(int argc, char** argv) {
   if (const char* ld = std::getenv("ROMAP_LIVE_DUMP")) live_dump = std::atoi(ld);
   auto dump_state = [&]() {
     SaveTrajectoryTUM(out_dir + "/FrameTrajectory.txt", tracker.trajectory());
+    SaveKeyFrameTrajectoryTUM(out_dir + "/KeyFrameTrajectory.txt",
+                              tracker.map().KeyFrames());
     SaveObjects(out_dir + "/objects.txt", tracker.map().Objects());
     FILE* f = std::fopen((out_dir + "/map_points.txt").c_str(), "w");
     if (!f) return;
