@@ -37,3 +37,8 @@ echo "== running mono_tum (SLAM + online NeRF) =="
 echo "== artifacts =="
 ls "$OUT"
 ls "$OUT/0" 2>/dev/null || true
+
+echo "== evaluation (PSNR/SSIM/mask IoU over held-out renders) =="
+PYTHONPATH="$REPO:$PYTHONPATH" python -m romap_tpu.utils.eval_psnr \
+  "$OUT" "$DATASET" --json "$OUT/eval.json" || true
+cat "$OUT/eval.json" 2>/dev/null || true
