@@ -231,7 +231,7 @@ def serve(out_dir: str, port: int = 8642, background: bool = False):
     srv.serve_forever()
 
 
-if __name__ == "__main__":
+def cli():
     import argparse
 
     ap = argparse.ArgumentParser()
@@ -239,3 +239,7 @@ if __name__ == "__main__":
     ap.add_argument("--port", type=int, default=8642)
     args = ap.parse_args()
     serve(args.out_dir, args.port)
+
+
+if __name__ == "__main__":
+    cli()
