@@ -186,6 +186,101 @@ def _make_fwd_planes_kernel(plane_specs):
     return kernel
 
 
+def _make_fused_fwd_kernel(plane_specs, k_cp: int):
+    """CP + planes + their output products in ONE kernel: loads the point
+    tile once and writes the final concatenated features directly, so XLA
+    never re-reads the axis factors to form A0*A1*A2 (saves two full passes
+    over [kout, P] in HBM)."""
+    n_lvl = len(plane_specs)
+
+    def kernel(x_ref, a_ref, b_ref, w_ref, *refs):
+        planes_refs = refs[:n_lvl]
+        plines_refs = refs[n_lvl : 2 * n_lvl]
+        out_ref, afac_ref, fpl_ref, fli_ref = refs[2 * n_lvl : 2 * n_lvl + 4]
+        mm = w_ref.dtype
+        t = x_ref.shape[1]
+
+        # CP lines (residuals saved for bwd; product written to out)
+        for d in range(3):
+            hat = _hat_t(x_ref[d, :], a_ref, b_ref, mm)  # [RP, T]
+            afac_ref[d] = jnp.dot(
+                w_ref[d], hat, preferred_element_type=jnp.float32
+            ).astype(afac_ref.dtype)
+        prod = (afac_ref[0][...].astype(jnp.float32)
+                * afac_ref[1][...].astype(jnp.float32)
+                * afac_ref[2][...].astype(jnp.float32))
+        out_ref[:k_cp, :] = prod.astype(out_ref.dtype)
+
+        # VM planes (fpl/fli saved for bwd; product appended to out)
+        row = 0
+        for lvl, (ru, rv, kp) in enumerate(plane_specs):
+            bb = _plane_block(rv)
+            for i, (u, v, w) in enumerate(_PLANE_AXES):
+                hu = _hat1_t(x_ref[u, :], ru, mm)
+                hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)
+                t_all = jnp.dot(
+                    planes_refs[lvl][i], hu, preferred_element_type=jnp.float32
+                )
+                f_pl = jnp.sum(t_all.reshape(kp, bb, t) * hv[None], axis=1)
+                f_li = jnp.dot(
+                    plines_refs[lvl][i], _hat1_t(x_ref[w, :], max(ru, rv), mm),
+                    preferred_element_type=jnp.float32,
+                )
+                fpl_ref[row : row + kp, :] = f_pl.astype(fpl_ref.dtype)
+                fli_ref[row : row + kp, :] = f_li.astype(fli_ref.dtype)
+                out_ref[k_cp + row : k_cp + row + kp, :] = (
+                    f_pl * f_li
+                ).astype(out_ref.dtype)
+                row += kp
+
+    return kernel
+
+
+def _fused_forward(factors, xt, npad, spec: MXGridSpec, interpret: bool):
+    """Returns (out [kout_total, npad], afac, fpl, fli) from one kernel."""
+    a, b, rp = _column_consts(spec)
+    k = spec.features
+    lines = _lines_of(factors)
+    w_t = jnp.pad(lines, ((0, 0), (0, rp - spec.total_res), (0, 0))).transpose(
+        0, 2, 1
+    )
+    planes = _planes_t(factors, spec)
+    plines = [p.transpose(0, 2, 1) for p in factors["plane_lines"]]
+    kout_pl = spec.plane_out_dims
+    grid = npad // TILE
+    tile = lambda rows: pl.BlockSpec((rows, TILE), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        _const_spec((rp, 1)),
+        _const_spec((rp, 1)),
+        _const_spec((3, k, rp)),
+    ]
+    in_specs += [_const_spec(p.shape) for p in planes]
+    in_specs += [_const_spec(p.shape) for p in plines]
+    out_specs = (
+        tile(k + kout_pl),
+        pl.BlockSpec((3, k, TILE), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        tile(kout_pl),
+        tile(kout_pl),
+    )
+    dt = lines.dtype
+    return pl.pallas_call(
+        _make_fused_fwd_kernel(spec.plane_specs, k),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct((k + kout_pl, npad), dt),
+            jax.ShapeDtypeStruct((3, k, npad), dt),
+            jax.ShapeDtypeStruct((kout_pl, npad), dt),
+            jax.ShapeDtypeStruct((kout_pl, npad), dt),
+        ),
+        interpret=interpret,
+    )(xt, a[:, None], b[:, None], w_t, *planes, *plines)
+
+
 def _make_bwd_planes_kernel(plane_specs):
     n_lvl = len(plane_specs)
 
@@ -305,9 +400,16 @@ def _planes_forward(factors, xt, npad, spec: MXGridSpec, interpret: bool):
     )(xt, *planes, *plines)
 
 
+FUSED_FWD = os.environ.get("MX_FUSED", "1") != "0"
+
+
 def _fwd_impl_t(factors, pts, spec: MXGridSpec, interpret: bool):
     """Transposed forward: returns out [kout, n] (points in lanes)."""
     xt, n, npad = _pad_and_tile(pts, TILE)
+    if spec.plane_specs and FUSED_FWD:
+        out, afac, fpl, fli = _fused_forward(factors, xt, npad, spec,
+                                             interpret)
+        return out[:, :n], (afac, fpl, fli)
     afac = _cp_forward(factors, xt, npad, spec, interpret)
     out_cp = afac[0] * afac[1] * afac[2]  # [K, npad]
     if not spec.plane_specs:
@@ -356,7 +458,10 @@ def _bwd_impl_t(factors, pts, res, g_in, spec: MXGridSpec, interpret: bool):
     if not spec.plane_specs:
         return dlines
 
-    xt_pl, _, npad_pl = _pad_and_tile(pts, PLANE_TILE)
+    # plane padding follows the saved residuals (the fused fwd pads them to
+    # the CP TILE; the split fwd to PLANE_TILE — powers of two either way)
+    npad_pl = fpl.shape[1]
+    xt_pl = jnp.pad(pts, ((0, npad_pl - n), (0, 0))).T
     g_pl = jnp.pad(g_in[k:, :], ((0, 0), (0, npad_pl - n)))  # [kout_pl, npad]
     kout = spec.plane_out_dims
     grid_pl = npad_pl // PLANE_TILE
