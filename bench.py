@@ -64,6 +64,9 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "obj-iters/s",
                 "vs_baseline": round(value / BASELINE_OBJ_ITERS_PER_SEC, 4),
+                "baseline_note": "500 obj-iters/s is an ESTIMATE of the "
+                "reference RTX-4090 online aggregate (repo publishes no "
+                "timings; tcnn ~2 ms/step at 131072 inputs, 10 streams)",
             }
         )
     )
