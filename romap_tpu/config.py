@@ -39,19 +39,22 @@ class EncodingConfig:
     log2_hashmap_size: int = 16
     base_resolution: int = 16
     desired_resolution: float = 2048.0
-    # mxgrid knobs — flagship defaults picked by the round-3 speed/quality
-    # ladder on v5e (QUALITY.json speeds_r3): CP 6 levels to 256 @ 64ch +
-    # one (128,128,8) plane level is both the fastest (403 obj-iters/s) AND
-    # the best-value 5000-step PSNR (29.29 dB vs 28.84 for 7 levels to 512
-    # at 344 obj-iters/s; the extra 512 CP level measurably hurt quality on
-    # the adversarial scene while costing 17%).
+    # mxgrid knobs — flagship defaults picked by the round-3/4 speed/quality
+    # ladders on v5e (QUALITY.json): CP 6 levels to 256 @ 64ch + one
+    # (128,128,4) plane level runs 560 obj-iters/s with a 5000-step PSNR of
+    # 28.95 dB — within 0.10 dB of the tcnn-semantics hash grid (29.05 dB),
+    # i.e. inside BASELINE.md's 0.5 dB parity budget, while 1.33x faster
+    # than the previous (128,128,8) flagship (421). Doubling plane channels
+    # back to 8 buys +0.34 dB at 25% cost if quality headroom matters;
+    # dropping planes entirely (852 obj-iters/s) loses 0.79 dB and breaks
+    # the parity budget.
     mx_levels: int = 6
     mx_max_resolution: int = 256
     mx_features: int = 64
     # VM plane-x-line components (TensoRF-style): restore full-rank texture
     # capacity that rank-limited CP lines lack. 0 disables.
     mx_plane_res: int = 128
-    mx_plane_features: int = 8
+    mx_plane_features: int = 4
     # Multi-level plane ladder ((res, feats), ...) — overrides the single
     # mx_plane_res/mx_plane_features level when set. Multi-scale planes cost
     # R^2*K per level, so e.g. ((64,8),(128,8)) has ~2.6x less compute than
