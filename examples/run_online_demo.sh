@@ -2,12 +2,13 @@
 # Full online RO-MAP pipeline demo: C++ monocular SLAM frontend -> socket ->
 # TPU/CPU NeRF runtime -> evaluation artifacts.
 #
-# usage: examples/run_online_demo.sh [out_dir] [train_iters] [tpu|cpu]
+# usage: examples/run_online_demo.sh [out_dir] [train_iters] [tpu|cpu] [n_objects]
 set -e
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 OUT="${1:-/tmp/romap_online_demo}"
 ITERS="${2:-100}"
 PLATFORM="${3:-cpu}"
+NOBJ="${4:-1}"
 DATASET="$OUT/dataset"
 SOCK="$OUT/monerf.sock"
 
@@ -18,7 +19,7 @@ cmake --build "$REPO/native/build" >/dev/null
 echo "== generating synthetic room dataset =="
 PYTHONPATH="$REPO:$PYTHONPATH" python -c "
 from romap_tpu.data.world import write_room_dataset
-write_room_dataset('$DATASET')
+write_room_dataset('$DATASET', n_objects=$NOBJ)
 print('dataset at $DATASET')"
 
 echo "== starting NeRF runtime server ($PLATFORM) =="

@@ -88,6 +88,29 @@ class EncodingConfig:
             return self.mx_features + 3 * sum(k for _, k in self.plane_specs)
         return self.n_levels * self.n_features_per_level
 
+    @classmethod
+    def preset(cls, name: str) -> "EncodingConfig":
+        """Named speed/quality points from the v5e ladder (QUALITY.json).
+
+        flagship — default: 559 obj-iters/s, 28.95 dB @ 5000 steps.
+        fast     — CP-only, 852 obj-iters/s, 28.26 dB (outside the 0.5 dB
+                   parity budget; for throughput-bound many-object scenes).
+        quality  — (128,8) planes, 421 obj-iters/s, 29.29 dB (best PSNR).
+        tcnn     — exact tcnn HashGrid semantics (29.05 dB; gather-bound on
+                   TPU, ~0.9 s/iter — parity/debug only).
+        """
+        presets = {
+            "flagship": cls(),
+            "fast": cls(mx_plane_specs=()),
+            "quality": cls(mx_plane_features=8),
+            "tcnn": cls(kind="hashgrid"),
+        }
+        if name not in presets:
+            raise ValueError(
+                f"unknown encoding preset {name!r}; "
+                f"choose from {sorted(presets)}")
+        return presets[name]
+
 
 @dataclasses.dataclass(frozen=True)
 class NetworkConfig:
