@@ -111,8 +111,8 @@ class Room:
                 t = np.where(np.abs(denom) > 1e-9,
                              (bound - o[..., axis]) / np.where(
                                  np.abs(denom) > 1e-9, denom, 1.0), np.inf)
-                valid = t > 1e-3
-                p = o + t[..., None] * d
+                valid = (t > 1e-3) & np.isfinite(t)
+                p = o + np.where(np.isfinite(t), t, 0.0)[..., None] * d
                 for other in range(3):
                     if other == axis:
                         continue
