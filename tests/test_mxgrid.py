@@ -82,3 +82,20 @@ def test_gradient_matches_finite_differences():
         tm = factors.at[d, r, k].add(-eps)
         fd = (float(f(tp)) - float(f(tm))) / (2 * eps)
         np.testing.assert_allclose(g[d, r, k], fd, rtol=2e-2, atol=2e-3)
+
+
+def test_encoding_presets():
+    """Named ladder presets resolve to valid configs; unknown names raise."""
+    from romap_tpu.config import EncodingConfig
+
+    flagship = EncodingConfig.preset("flagship")
+    assert flagship == EncodingConfig()
+    assert EncodingConfig.preset("fast").plane_specs == ()
+    q = EncodingConfig.preset("quality")
+    assert q.plane_specs == ((128, 8),) and q.n_output_dims == 88
+    assert EncodingConfig.preset("tcnn").kind == "hashgrid"
+    try:
+        EncodingConfig.preset("nope")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "nope" in str(e)
