@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 
 BASELINE_OBJ_ITERS_PER_SEC = 500.0  # RTX-4090 estimate, see module docstring
-N_OBJECTS = 10
+N_OBJECTS = int(os.environ.get("ROMAP_BENCH_OBJECTS", "10"))
 
 
 def main() -> None:

@@ -281,6 +281,97 @@ def _fused_forward(factors, xt, npad, spec: MXGridSpec, interpret: bool):
     )(xt, a[:, None], b[:, None], w_t, *planes, *plines)
 
 
+def _make_fused_bwd_kernel(plane_specs, k_cp: int):
+    """CP + plane parameter gradients in ONE kernel: the point tile and the
+    cotangent tile are loaded once, all accumulators live across the
+    sequential grid. Pairs with the fused forward (residual padding = CP
+    TILE for both halves)."""
+    n_lvl = len(plane_specs)
+
+    def kernel(x_ref, a_ref, b_ref, afac_ref, fpl_ref, fli_ref, g_ref,
+               *drefs):
+        dw_ref = drefs[0]
+        dplanes_refs = drefs[1 : 1 + n_lvl]
+        dplines_refs = drefs[1 + n_lvl :]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in drefs:
+                r[...] = jnp.zeros_like(r)
+
+        mm = afac_ref.dtype
+        t = x_ref.shape[1]
+
+        # CP lines
+        g = g_ref[:k_cp, :].astype(jnp.float32)  # [K, T]
+        a0 = afac_ref[0].astype(jnp.float32)
+        a1 = afac_ref[1].astype(jnp.float32)
+        a2 = afac_ref[2].astype(jnp.float32)
+        others = ((a1, a2), (a0, a2), (a0, a1))
+        for d in range(3):
+            ae, af = others[d]
+            u = (g * ae * af).astype(mm)
+            hat = _hat_t(x_ref[d, :], a_ref, b_ref, mm)
+            dw_ref[d] += _dot_t(u, hat)
+
+        # VM planes
+        row = 0
+        for lvl, (ru, rv, kp) in enumerate(plane_specs):
+            bb = _plane_block(rv)
+            for i, (u, v, w) in enumerate(_PLANE_AXES):
+                gi = g_ref[k_cp + row : k_cp + row + kp, :].astype(jnp.float32)
+                f_pl = fpl_ref[row : row + kp, :].astype(jnp.float32)
+                f_li = fli_ref[row : row + kp, :].astype(jnp.float32)
+                hu = _hat1_t(x_ref[u, :], ru, mm)
+                hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)
+                hw = _hat1_t(x_ref[w, :], max(ru, rv), mm)
+                dplines_refs[lvl][i] += _dot_t((gi * f_pl).astype(mm), hw)
+                prod = ((gi * f_li)[:, None, :] * hv[None]).reshape(kp * bb, t)
+                dplanes_refs[lvl][i] += _dot_t(prod.astype(mm), hu)
+                row += kp
+
+    return kernel
+
+
+def _fused_backward(factors, xt, npad, afac, fpl, fli, g_t,
+                    spec: MXGridSpec, interpret: bool):
+    """One-kernel gradient for the fused-forward residual layout.
+    g_t is the FULL cotangent [kout_total, npad]."""
+    a, b, rp = _column_consts(spec)
+    k = spec.features
+    kout_pl = spec.plane_out_dims
+    grid = npad // TILE
+    tile = lambda rows: pl.BlockSpec((rows, TILE), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+    dplane_shapes = [
+        jax.ShapeDtypeStruct((3, kk * _plane_block(rv), ru), jnp.float32)
+        for ru, rv, kk in spec.plane_specs
+    ]
+    dpline_shapes = [
+        jax.ShapeDtypeStruct((3, kk, max(ru, rv)), jnp.float32)
+        for ru, rv, kk in spec.plane_specs
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((3, k, rp), jnp.float32)]
+    out_shapes += dplane_shapes + dpline_shapes
+    return pl.pallas_call(
+        _make_fused_bwd_kernel(spec.plane_specs, k),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            _const_spec((rp, 1)),
+            _const_spec((rp, 1)),
+            pl.BlockSpec((3, k, TILE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            tile(kout_pl),
+            tile(kout_pl),
+            tile(k + kout_pl),
+        ],
+        out_specs=tuple(_const_spec(s.shape) for s in out_shapes),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(xt, a[:, None], b[:, None], afac, fpl, fli, g_t)
+
+
 def _make_bwd_planes_kernel(plane_specs):
     n_lvl = len(plane_specs)
 
@@ -438,6 +529,26 @@ def _bwd_impl_t(factors, pts, res, g_in, spec: MXGridSpec, interpret: bool):
     g_t = jnp.pad(g_in, ((0, 0), (0, npad - n)))  # [kout, npad]
     lines = _lines_of(factors)
     grid = npad // TILE
+
+    if spec.plane_specs and fpl is not None and fpl.shape[1] == npad:
+        outs = _fused_backward(factors, xt, npad, afac, fpl, fli, g_t,
+                               spec, interpret)
+        dlines = (outs[0].transpose(0, 2, 1)[:, : spec.total_res, :]
+                  .astype(lines.dtype))
+        n_lvl = len(spec.plane_specs)
+        dt = lines.dtype
+        return {
+            "lines": dlines,
+            "planes": tuple(
+                outs[1 + l].reshape(3, kk, _plane_block(rv), ru)[:, :, :rv, :]
+                .transpose(0, 3, 2, 1).astype(dt)
+                for l, (ru, rv, kk) in enumerate(spec.plane_specs)
+            ),
+            "plane_lines": tuple(
+                outs[1 + n_lvl + l].transpose(0, 2, 1).astype(dt)
+                for l in range(n_lvl)
+            ),
+        }
 
     dw_t = pl.pallas_call(
         _bwd_cp_kernel,
