@@ -118,9 +118,9 @@ def _dot_t(a, b):
 # --------------------------------------------------------------------------
 
 
-def _fwd_cp_kernel(x_ref, a_ref, b_ref, w_ref, afac_ref):
-    """Writes the three axis factors A_d = W_d^T @ hat_d (residuals for bwd;
-    the product A_0*A_1*A_2 is formed in XLA). w_ref is [3, K, RP]."""
+def _cp_fwd_body(x_ref, a_ref, b_ref, w_ref, afac_ref):
+    """Writes the three axis factors A_d = W_d^T @ hat_d (residuals for
+    bwd). w_ref is [3, K, RP]."""
     mm = w_ref.dtype
     for d in range(3):
         hat = _hat_t(x_ref[d, :], a_ref, b_ref, mm)  # [RP, T]
@@ -129,15 +129,49 @@ def _fwd_cp_kernel(x_ref, a_ref, b_ref, w_ref, afac_ref):
         ).astype(afac_ref.dtype)
 
 
-def _bwd_cp_kernel(x_ref, a_ref, b_ref, afac_ref, g_ref, dw_ref):
-    """dW_d^T += (g * A_e * A_f) @ hat_d^T, fp32 accumulation across the
-    grid. Consumes the saved axis factors; only tent bases are rebuilt."""
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
+def _plane_fwd_body(plane_specs, x_ref, planes_refs, plines_refs,
+                    fpl_ref, fli_ref, out_ref=None, out_off=0):
+    """Per level/pair: f_pl (plane sample) and f_li (line sample) residuals;
+    when `out_ref` is given, also writes their product at row out_off+row
+    (the fused kernel's output block)."""
+    mm = planes_refs[0].dtype
+    t = x_ref.shape[1]
+    row = 0
+    for lvl, (ru, rv, kp) in enumerate(plane_specs):
+        bb = _plane_block(rv)
+        for i, (u, v, w) in enumerate(_PLANE_AXES):
+            hu = _hat1_t(x_ref[u, :], ru, mm)  # [Ru, T]
+            hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)  # [B, T]
+            t_all = jnp.dot(
+                planes_refs[lvl][i], hu, preferred_element_type=jnp.float32
+            )  # [Kp*B, T]
+            f_pl = jnp.sum(
+                t_all.reshape(kp, bb, t) * hv[None], axis=1
+            )  # [Kp, T] — sublane-dim reduce, no lane crossing
+            f_li = jnp.dot(
+                plines_refs[lvl][i], _hat1_t(x_ref[w, :], max(ru, rv), mm),
+                preferred_element_type=jnp.float32,
+            )  # [Kp, T]
+            fpl_ref[row : row + kp, :] = f_pl.astype(fpl_ref.dtype)
+            fli_ref[row : row + kp, :] = f_li.astype(fli_ref.dtype)
+            if out_ref is not None:
+                out_ref[out_off + row : out_off + row + kp, :] = (
+                    f_pl * f_li
+                ).astype(out_ref.dtype)
+            row += kp
 
+
+def _fwd_cp_kernel(x_ref, a_ref, b_ref, w_ref, afac_ref):
+    """Split-path CP forward (the product A_0*A_1*A_2 is formed in XLA)."""
+    _cp_fwd_body(x_ref, a_ref, b_ref, w_ref, afac_ref)
+
+
+def _cp_grad_body(x_ref, a_ref, b_ref, afac_ref, g, dw_ref):
+    """dW_d^T += (g * A_e * A_f) @ hat_d^T for all three axes, fp32
+    accumulation. Consumes the saved axis factors; only tent bases are
+    rebuilt. `g` is the CP slice of the cotangent, [K, T]."""
     mm = afac_ref.dtype
-    g = g_ref[:].astype(jnp.float32)  # [K, T]
+    g = g.astype(jnp.float32)
     a0 = afac_ref[0].astype(jnp.float32)
     a1 = afac_ref[1].astype(jnp.float32)
     a2 = afac_ref[2].astype(jnp.float32)
@@ -147,6 +181,40 @@ def _bwd_cp_kernel(x_ref, a_ref, b_ref, afac_ref, g_ref, dw_ref):
         u = (g * ae * af).astype(mm)  # [K, T]
         hat = _hat_t(x_ref[d, :], a_ref, b_ref, mm)  # [RP, T]
         dw_ref[d] += _dot_t(u, hat)  # [K, RP]
+
+
+def _plane_grad_body(plane_specs, x_ref, fpl_ref, fli_ref, g_ref, g_off,
+                     dplanes_refs, dplines_refs):
+    """dP/dL accumulation for every plane level/pair. `g_off` is the row of
+    g_ref where the plane block starts (0 for the split kernel, K for the
+    fused one)."""
+    mm = fpl_ref.dtype
+    t = x_ref.shape[1]
+    row = 0
+    for lvl, (ru, rv, kp) in enumerate(plane_specs):
+        bb = _plane_block(rv)
+        for i, (u, v, w) in enumerate(_PLANE_AXES):
+            gi = g_ref[g_off + row : g_off + row + kp, :].astype(jnp.float32)
+            f_pl = fpl_ref[row : row + kp, :].astype(jnp.float32)
+            f_li = fli_ref[row : row + kp, :].astype(jnp.float32)
+            hu = _hat1_t(x_ref[u, :], ru, mm)
+            hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)
+            hw = _hat1_t(x_ref[w, :], max(ru, rv), mm)
+            dplines_refs[lvl][i] += _dot_t((gi * f_pl).astype(mm), hw)
+            # d t_all[k*B+v, t] = hv[v, t] * (gi * f_li)[k, t]
+            prod = (
+                (gi * f_li)[:, None, :] * hv[None]
+            ).reshape(kp * bb, t)  # sublane-dim reshape only
+            dplanes_refs[lvl][i] += _dot_t(prod.astype(mm), hu)
+            row += kp
+
+
+def _bwd_cp_kernel(x_ref, a_ref, b_ref, afac_ref, g_ref, dw_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    _cp_grad_body(x_ref, a_ref, b_ref, afac_ref, g_ref[:], dw_ref)
 
 
 # --------------------------------------------------------------------------
@@ -161,27 +229,8 @@ def _make_fwd_planes_kernel(plane_specs):
         planes_refs = refs[:n_lvl]  # each [3, Kp*B, R]
         plines_refs = refs[n_lvl : 2 * n_lvl]  # each [3, Kp, R]
         fpl_ref, fli_ref = refs[2 * n_lvl], refs[2 * n_lvl + 1]
-        mm = planes_refs[0].dtype
-        t = x_ref.shape[1]
-        row = 0
-        for lvl, (ru, rv, kp) in enumerate(plane_specs):
-            bb = _plane_block(rv)
-            for i, (u, v, w) in enumerate(_PLANE_AXES):
-                hu = _hat1_t(x_ref[u, :], ru, mm)  # [Ru, T]
-                hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)  # [B, T]
-                t_all = jnp.dot(
-                    planes_refs[lvl][i], hu, preferred_element_type=jnp.float32
-                )  # [Kp*B, T]
-                f_pl = jnp.sum(
-                    t_all.reshape(kp, bb, t) * hv[None], axis=1
-                )  # [Kp, T] — sublane-dim reduce, no lane crossing
-                f_li = jnp.dot(
-                    plines_refs[lvl][i], _hat1_t(x_ref[w, :], max(ru, rv), mm),
-                    preferred_element_type=jnp.float32,
-                )  # [Kp, T]
-                fpl_ref[row : row + kp, :] = f_pl.astype(fpl_ref.dtype)
-                fli_ref[row : row + kp, :] = f_li.astype(fli_ref.dtype)
-                row += kp
+        _plane_fwd_body(plane_specs, x_ref, planes_refs, plines_refs,
+                        fpl_ref, fli_ref)
 
     return kernel
 
@@ -197,41 +246,17 @@ def _make_fused_fwd_kernel(plane_specs, k_cp: int):
         planes_refs = refs[:n_lvl]
         plines_refs = refs[n_lvl : 2 * n_lvl]
         out_ref, afac_ref, fpl_ref, fli_ref = refs[2 * n_lvl : 2 * n_lvl + 4]
-        mm = w_ref.dtype
-        t = x_ref.shape[1]
 
         # CP lines (residuals saved for bwd; product written to out)
-        for d in range(3):
-            hat = _hat_t(x_ref[d, :], a_ref, b_ref, mm)  # [RP, T]
-            afac_ref[d] = jnp.dot(
-                w_ref[d], hat, preferred_element_type=jnp.float32
-            ).astype(afac_ref.dtype)
+        _cp_fwd_body(x_ref, a_ref, b_ref, w_ref, afac_ref)
         prod = (afac_ref[0][...].astype(jnp.float32)
                 * afac_ref[1][...].astype(jnp.float32)
                 * afac_ref[2][...].astype(jnp.float32))
         out_ref[:k_cp, :] = prod.astype(out_ref.dtype)
 
         # VM planes (fpl/fli saved for bwd; product appended to out)
-        row = 0
-        for lvl, (ru, rv, kp) in enumerate(plane_specs):
-            bb = _plane_block(rv)
-            for i, (u, v, w) in enumerate(_PLANE_AXES):
-                hu = _hat1_t(x_ref[u, :], ru, mm)
-                hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)
-                t_all = jnp.dot(
-                    planes_refs[lvl][i], hu, preferred_element_type=jnp.float32
-                )
-                f_pl = jnp.sum(t_all.reshape(kp, bb, t) * hv[None], axis=1)
-                f_li = jnp.dot(
-                    plines_refs[lvl][i], _hat1_t(x_ref[w, :], max(ru, rv), mm),
-                    preferred_element_type=jnp.float32,
-                )
-                fpl_ref[row : row + kp, :] = f_pl.astype(fpl_ref.dtype)
-                fli_ref[row : row + kp, :] = f_li.astype(fli_ref.dtype)
-                out_ref[k_cp + row : k_cp + row + kp, :] = (
-                    f_pl * f_li
-                ).astype(out_ref.dtype)
-                row += kp
+        _plane_fwd_body(plane_specs, x_ref, planes_refs, plines_refs,
+                        fpl_ref, fli_ref, out_ref, k_cp)
 
     return kernel
 
@@ -299,36 +324,9 @@ def _make_fused_bwd_kernel(plane_specs, k_cp: int):
             for r in drefs:
                 r[...] = jnp.zeros_like(r)
 
-        mm = afac_ref.dtype
-        t = x_ref.shape[1]
-
-        # CP lines
-        g = g_ref[:k_cp, :].astype(jnp.float32)  # [K, T]
-        a0 = afac_ref[0].astype(jnp.float32)
-        a1 = afac_ref[1].astype(jnp.float32)
-        a2 = afac_ref[2].astype(jnp.float32)
-        others = ((a1, a2), (a0, a2), (a0, a1))
-        for d in range(3):
-            ae, af = others[d]
-            u = (g * ae * af).astype(mm)
-            hat = _hat_t(x_ref[d, :], a_ref, b_ref, mm)
-            dw_ref[d] += _dot_t(u, hat)
-
-        # VM planes
-        row = 0
-        for lvl, (ru, rv, kp) in enumerate(plane_specs):
-            bb = _plane_block(rv)
-            for i, (u, v, w) in enumerate(_PLANE_AXES):
-                gi = g_ref[k_cp + row : k_cp + row + kp, :].astype(jnp.float32)
-                f_pl = fpl_ref[row : row + kp, :].astype(jnp.float32)
-                f_li = fli_ref[row : row + kp, :].astype(jnp.float32)
-                hu = _hat1_t(x_ref[u, :], ru, mm)
-                hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)
-                hw = _hat1_t(x_ref[w, :], max(ru, rv), mm)
-                dplines_refs[lvl][i] += _dot_t((gi * f_pl).astype(mm), hw)
-                prod = ((gi * f_li)[:, None, :] * hv[None]).reshape(kp * bb, t)
-                dplanes_refs[lvl][i] += _dot_t(prod.astype(mm), hu)
-                row += kp
+        _cp_grad_body(x_ref, a_ref, b_ref, afac_ref, g_ref[:k_cp, :], dw_ref)
+        _plane_grad_body(plane_specs, x_ref, fpl_ref, fli_ref, g_ref, k_cp,
+                         dplanes_refs, dplines_refs)
 
     return kernel
 
@@ -384,25 +382,8 @@ def _make_bwd_planes_kernel(plane_specs):
             for r in drefs:
                 r[...] = jnp.zeros_like(r)
 
-        mm = fpl_ref.dtype
-        t = x_ref.shape[1]
-        row = 0
-        for lvl, (ru, rv, kp) in enumerate(plane_specs):
-            bb = _plane_block(rv)
-            for i, (u, v, w) in enumerate(_PLANE_AXES):
-                gi = g_ref[row : row + kp, :].astype(jnp.float32)  # [Kp, T]
-                f_pl = fpl_ref[row : row + kp, :].astype(jnp.float32)
-                f_li = fli_ref[row : row + kp, :].astype(jnp.float32)
-                hu = _hat1_t(x_ref[u, :], ru, mm)
-                hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)
-                hw = _hat1_t(x_ref[w, :], max(ru, rv), mm)
-                dplines_refs[lvl][i] += _dot_t((gi * f_pl).astype(mm), hw)
-                # d t_all[k*B+v, t] = hv[v, t] * (gi * f_li)[k, t]
-                prod = (
-                    (gi * f_li)[:, None, :] * hv[None]
-                ).reshape(kp * bb, t)  # sublane-dim reshape only
-                dplanes_refs[lvl][i] += _dot_t(prod.astype(mm), hu)
-                row += kp
+        _plane_grad_body(plane_specs, x_ref, fpl_ref, fli_ref, g_ref, 0,
+                         dplanes_refs, dplines_refs)
 
     return kernel
 
@@ -530,7 +511,8 @@ def _bwd_impl_t(factors, pts, res, g_in, spec: MXGridSpec, interpret: bool):
     lines = _lines_of(factors)
     grid = npad // TILE
 
-    if spec.plane_specs and fpl is not None and fpl.shape[1] == npad:
+    if (FUSED_FWD and spec.plane_specs and fpl is not None
+            and fpl.shape[1] == npad):
         outs = _fused_backward(factors, xt, npad, afac, fpl, fli, g_t,
                                spec, interpret)
         dlines = (outs[0].transpose(0, 2, 1)[:, : spec.total_res, :]

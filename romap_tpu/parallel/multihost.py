@@ -74,6 +74,10 @@ def local_object_slice(capacity: int, mesh: Mesh) -> slice:
     per_dev = capacity // n
     mine = [i for i, d in enumerate(mesh.devices.flat)
             if d.process_index == jax.process_index()]
+    assert mine == list(range(min(mine), max(mine) + 1)), (
+        "this process's devices are not contiguous in the mesh — build it "
+        "with global_mesh() (local-major order) so each process owns one "
+        f"contiguous row block; got positions {mine}")
     return slice(min(mine) * per_dev, (max(mine) + 1) * per_dev)
 
 

@@ -1,6 +1,7 @@
 """Multi-host (multi-process) object sharding: two coordinated CPU
 processes with 4 virtual devices each form the global 8-device "obj" mesh
-and must reproduce the single-process train-step losses exactly.
+and must reproduce the single-process train-step losses to fp32 tolerance
+(rtol 1e-5 — SPMD partitioning may reorder reductions).
 
 This exercises the DCN-era deployment path (parallel/multihost.py) as far
 as a single machine allows: real jax.distributed coordination, global
@@ -29,6 +30,9 @@ def _free_port() -> int:
 
 
 def test_two_process_losses_match_single_process():
+    if jax.default_backend() != "cpu":
+        pytest.skip("workers are CPU-pinned fp32; a TPU parent (bf16, "
+                    "ROMAP_TEST_TPU=1) is not comparable at fp32 tolerance")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     port = _free_port()
     env = dict(os.environ)
