@@ -90,3 +90,13 @@ def write_room_dataset(root: str, n_frames: int = 80, res: int = 480,
     frames = make_sequence(cam, objs, n_frames, radius=2.4, room=Room(),
                            arc=2.2)
     write_dataset(root, cam, frames, objects=objs, use_depth=True)
+    # GT geometry sidecar (not part of the reference layout — consumed by
+    # the eval harness's mesh-geometry metric, romap_tpu/utils/eval_psnr.py)
+    import json
+    import os
+
+    with open(os.path.join(root, "gt_objects.json"), "w") as f:
+        json.dump(
+            {str(i): {"center": [float(c) for c in o.center],
+                      "radius": float(o.radius)}
+             for i, o in enumerate(objs)}, f, indent=1)

@@ -71,6 +71,50 @@ def _stamp_to_image(dataset: str):
     return table
 
 
+def _mesh_metrics(obj_dir: str, dataset: str, obj_id: str):
+    """Mesh-geometry metric for the synthetic spheres (the north star's
+    "extracted-mesh geometry within tolerance"): fit a sphere to obj.ply
+    (centroid + mean vertex radius, rotation/translation invariant — the
+    mesh lives in the metric object frame) and compare to the GT sidecar
+    `gt_objects.json` written by data/world.write_room_dataset.
+
+    mesh_radius_ratio  — fitted radius / GT radius (1.0 = perfect; carries
+                         the monocular-scale error in online runs)
+    mesh_shape_rms     — rms of (vertex radius - fitted radius) / fitted
+                         radius: pure shape error, scale-free
+    """
+    gt_path = os.path.join(dataset, "gt_objects.json")
+    ply_path = os.path.join(obj_dir, "obj.ply")
+    if not (os.path.exists(gt_path) and os.path.exists(ply_path)):
+        return {}
+    gt = json.load(open(gt_path))
+    if obj_id not in gt:
+        # online SLAM object ids need not match dataset indices; only the
+        # single-object case is unambiguous without a pose-level match
+        if len(gt) != 1:
+            return {}
+        obj_id = next(iter(gt))
+    try:
+        from romap_tpu.utils.mesh_io import load_ply
+
+        verts = np.asarray(load_ply(ply_path).verts, np.float64)
+    except Exception:
+        return {}
+    if len(verts) < 32:
+        return {}
+    c = verts.mean(0)
+    rad = np.linalg.norm(verts - c, axis=1)
+    r_fit = float(rad.mean())
+    if r_fit <= 0:
+        return {}
+    return {
+        "mesh_radius_ratio": round(r_fit / float(gt[obj_id]["radius"]), 4),
+        "mesh_shape_rms": round(float(np.sqrt(np.mean(
+            ((rad - r_fit) / r_fit) ** 2))), 4),
+        "mesh_verts": int(len(verts)),
+    }
+
+
 def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
     """Metrics for one object's artifact dir. Returns dict or None."""
     manifest = os.path.join(obj_dir, "test.txt")
@@ -113,12 +157,14 @@ def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
                 ious.append(float((pred & obj_px).sum()) / union)
     if not psnrs:
         return None
-    return {
+    out = {
         "n_views": len(psnrs),
         "psnr_db": round(float(np.mean(psnrs)), 2),
         "ssim": round(float(np.mean(ssims)), 4),
         "mask_iou": round(float(np.mean(ious)), 4) if ious else None,
     }
+    out.update(_mesh_metrics(obj_dir, dataset, os.path.basename(obj_dir)))
+    return out
 
 
 def evaluate_tree(output_dir: str, dataset: str) -> dict:
