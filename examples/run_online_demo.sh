@@ -2,13 +2,14 @@
 # Full online RO-MAP pipeline demo: C++ monocular SLAM frontend -> socket ->
 # TPU/CPU NeRF runtime -> evaluation artifacts.
 #
-# usage: examples/run_online_demo.sh [out_dir] [train_iters] [tpu|cpu] [n_objects]
+# usage: examples/run_online_demo.sh [out_dir] [train_iters] [tpu|cpu] [n_objects] [final_waves]
 set -e
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 OUT="${1:-/tmp/romap_online_demo}"
 ITERS="${2:-100}"
 PLATFORM="${3:-cpu}"
 NOBJ="${4:-1}"
+FINALW="${5:-1}"
 DATASET="$OUT/dataset"
 SOCK="$OUT/monerf.sock"
 
@@ -27,7 +28,7 @@ rm -f "$SOCK"
 PLATFORM_FLAG=""
 [ "$PLATFORM" = "cpu" ] && PLATFORM_FLAG="--platform cpu --small"
 PYTHONPATH="$REPO:$PYTHONPATH" python -m romap_tpu.runtime.server \
-  --socket "$SOCK" $PLATFORM_FLAG > "$OUT/server.log" 2>&1 &
+  --socket "$SOCK" --final-waves "$FINALW" $PLATFORM_FLAG > "$OUT/server.log" 2>&1 &
 SRV=$!
 trap "kill $SRV 2>/dev/null || true" EXIT
 for i in $(seq 1 120); do [ -S "$SOCK" ] && break; sleep 1; done

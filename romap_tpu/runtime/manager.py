@@ -59,6 +59,7 @@ class NerfManagerOnline:
         capacity: int = 16,
         mesh_every_waves: int = 2,
         mesh_enabled: bool = True,
+        final_waves: int = 1,
     ):
         if isinstance(network_config, NerfConfig):
             self.cfg = network_config
@@ -72,6 +73,13 @@ class NerfManagerOnline:
         self.capacity = capacity
         self.mesh_every_waves = mesh_every_waves
         self.mesh_enabled = mesh_enabled
+        # Waves run at shutdown per still-active object. 1 = reference
+        # parity (ref nerf.cu:246-251 runs one last Train_Step_Online);
+        # more buys extra convergence on the final keyframe set at a few
+        # ms/wave on TPU — useful because online waves are angle-gated and
+        # a short sequence may end long before the offline 5000-step
+        # budget. Reuses the compiled wave shape (no recompile).
+        self.final_waves = max(1, int(final_waves))
 
         self.store: FrameStore | None = None
         self.state: nerf.TrainState | None = None
@@ -330,10 +338,11 @@ class NerfManagerOnline:
             mask = self._objs["n_bbox"] > MIN_BBOXES_TO_TRAIN
             if mask.any():
                 objs = self._objects_state(mask)
-                self.state = nerf.train_objects(
-                    self.state, objs, self.store.arrays(), self.cfg, self.spec,
-                    self.iters_per_wave, self.use_depth,
-                )
+                for _ in range(self.final_waves):
+                    self.state = nerf.train_objects(
+                        self.state, objs, self.store.arrays(), self.cfg,
+                        self.spec, self.iters_per_wave, self.use_depth,
+                    )
                 jax.device_get(self.state.loss)
         if mask.any() and self.mesh_enabled:
             for oi in np.nonzero(mask)[0]:

@@ -85,6 +85,8 @@ class _Reader:
 
 
 class RuntimeServer:
+    FINAL_WAVES = 1  # set from the CLI; shutdown polish (manager.final_waves)
+
     def __init__(self, cfg: NerfConfig | None = None):
         self.base_cfg = cfg or NerfConfig()
         self.mgr: NerfManagerOnline | None = None
@@ -101,7 +103,7 @@ class RuntimeServer:
             self.mgr = NerfManagerOnline(
                 self.base_cfg, use_sparse_depth=use_depth,
                 train_step_iterations=iters, capacity=capacity,
-                mesh_enabled=mesh_on,
+                mesh_enabled=mesh_on, final_waves=self.FINAL_WAVES,
             )
             return b""
         if op == OPS["DATASET_INIT"]:
@@ -224,6 +226,10 @@ def main() -> None:
                     help="reference-format network JSON")
     ap.add_argument("--small", action="store_true",
                     help="tiny config (tests)")
+    ap.add_argument("--final-waves", type=int, default=1,
+                    help="training waves per object at shutdown (1 = "
+                         "reference parity; more polishes convergence on "
+                         "the final keyframe set)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a jax platform (the axon sitecustomize pins "
                          "the TPU tunnel; JAX_PLATFORMS alone is ignored)")
@@ -247,6 +253,7 @@ def main() -> None:
             train=TrainConfig(rays_per_batch=512, samples_per_ray=16,
                               mc_resolution=17),
         )
+    RuntimeServer.FINAL_WAVES = max(1, args.final_waves)
     RuntimeServer(cfg).serve(args.socket)
 
 

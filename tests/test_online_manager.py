@@ -205,3 +205,22 @@ def test_concurrent_grow_during_background_training():
     assert len(losses) == 3 and np.isfinite(losses).all()
     # every slot actually trained
     assert all(int(mgr.state.step[i]) > 0 for i in idxs)
+
+
+def test_final_waves_polish():
+    """final_waves > 1 runs extra shutdown waves: the step counter advances
+    final_waves x iters beyond a parity manager fed the same drive."""
+    cam, objects, frames = make_world()
+
+    def run(final_waves):
+        mgr = NerfManagerOnline(tiny_cfg(), use_sparse_depth=False,
+                                train_step_iterations=15, capacity=2,
+                                final_waves=final_waves)
+        drive_slam_like(mgr, cam, objects, frames, 15)
+        mgr.wait_threads_end()
+        return int(np.asarray(mgr.state.step)[0]), float(mgr.losses()[0])
+
+    steps1, _ = run(1)
+    steps3, loss3 = run(3)
+    assert steps3 == steps1 + 2 * 15
+    assert np.isfinite(loss3)
