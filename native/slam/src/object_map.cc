@@ -2,7 +2,9 @@
 
 #include <algorithm>
 #include <cmath>
+#include <functional>
 #include <set>
+#include <vector>
 
 #include "romap/eif.h"
 
@@ -394,25 +396,25 @@ void ObjectMap::EstimateShape() {
   // unseen half — the farther visible half, mirrored, is the symmetric
   // completion (with the plain midpoint center this reduces exactly to the
   // reference's (hi-lo)/2, ref src/ObjectMap.cc:613-672). Mirroring doubles
-  // the leverage of a single stray point, so on clouds big enough to spare
-  // one the extent uses the SECOND-largest |q - c| per axis (trimmed max).
+  // the leverage of stray points, so the extent uses the k-th largest
+  // |q - c| per axis with k ~ n/50 (adaptive trimmed max): outlier
+  // clusters up to k-1 points are ignored, while genuine extremal
+  // structure (e.g. the front pole of a sphere, ~n/10 points) survives.
   Vec3 qc = r * t_obj_w.inverse().t;  // centroid in the rotated frame
   float ext[3];
+  std::vector<float> dist;
+  dist.reserve(points.size());
   for (int a = 0; a < 3; ++a) {
-    float m1 = 0, m2 = 0;  // largest / second-largest |q_a - c_a|
-    int n = 0;
+    dist.clear();
     for (const MapPoint* p : points) {
       if (p->bad) continue;
-      float v = std::abs((r * p->pos)[a] - qc[a]);
-      if (v > m1) {
-        m2 = m1;
-        m1 = v;
-      } else if (v > m2) {
-        m2 = v;
-      }
-      ++n;
+      dist.push_back(std::abs((r * p->pos)[a] - qc[a]));
     }
-    ext[a] = (n >= 30) ? m2 : m1;
+    const int n = static_cast<int>(dist.size());
+    const int k = (n >= 30) ? std::max(2, n / 50) : 1;
+    std::nth_element(dist.begin(), dist.begin() + (k - 1), dist.end(),
+                     std::greater<float>());
+    ext[a] = dist[k - 1];
   }
   Vec3 t_shape(-qc[0], -qc[1], -qc[2]);
   shape.t_obj_w = SE3{r, t_shape};
