@@ -92,10 +92,10 @@ class EncodingConfig:
     def preset(cls, name: str) -> "EncodingConfig":
         """Named speed/quality points from the v5e ladder (QUALITY.json).
 
-        flagship — default: 559 obj-iters/s, 28.95 dB @ 5000 steps.
+        flagship — default: 580 obj-iters/s, 28.95 dB @ 5000 steps.
         fast     — CP-only, 852 obj-iters/s, 28.26 dB (outside the 0.5 dB
                    parity budget; for throughput-bound many-object scenes).
-        quality  — (128,8) planes, 421 obj-iters/s, 29.29 dB (best PSNR).
+        quality  — (128,8) planes, 434 obj-iters/s, 29.29 dB (best PSNR).
         tcnn     — exact tcnn HashGrid semantics (29.05 dB; gather-bound on
                    TPU, ~0.9 s/iter — parity/debug only).
         """
