@@ -411,6 +411,10 @@ void ObjectMap::EstimateShape() {
       dist.push_back(std::abs((r * p->pos)[a] - qc[a]));
     }
     const int n = static_cast<int>(dist.size());
+    if (n == 0) {  // every point flagged bad between culling passes
+      ext[a] = 0.0f;
+      continue;
+    }
     const int k = (n >= 30) ? std::max(2, n / 50) : 1;
     std::nth_element(dist.begin(), dist.begin() + (k - 1), dist.end(),
                      std::greater<float>());

@@ -85,10 +85,9 @@ class _Reader:
 
 
 class RuntimeServer:
-    FINAL_WAVES = 1  # set from the CLI; shutdown polish (manager.final_waves)
-
-    def __init__(self, cfg: NerfConfig | None = None):
+    def __init__(self, cfg: NerfConfig | None = None, final_waves: int = 1):
         self.base_cfg = cfg or NerfConfig()
+        self.final_waves = max(1, final_waves)  # shutdown polish waves
         self.mgr: NerfManagerOnline | None = None
         self._h = self._w = 0
         self._running = True
@@ -103,7 +102,7 @@ class RuntimeServer:
             self.mgr = NerfManagerOnline(
                 self.base_cfg, use_sparse_depth=use_depth,
                 train_step_iterations=iters, capacity=capacity,
-                mesh_enabled=mesh_on, final_waves=self.FINAL_WAVES,
+                mesh_enabled=mesh_on, final_waves=self.final_waves,
             )
             return b""
         if op == OPS["DATASET_INIT"]:
@@ -253,8 +252,7 @@ def main() -> None:
             train=TrainConfig(rays_per_batch=512, samples_per_ray=16,
                               mc_resolution=17),
         )
-    RuntimeServer.FINAL_WAVES = max(1, args.final_waves)
-    RuntimeServer(cfg).serve(args.socket)
+    RuntimeServer(cfg, final_waves=args.final_waves).serve(args.socket)
 
 
 if __name__ == "__main__":

@@ -87,13 +87,18 @@ def _mesh_metrics(obj_dir: str, dataset: str, obj_id: str):
     ply_path = os.path.join(obj_dir, "obj.ply")
     if not (os.path.exists(gt_path) and os.path.exists(ply_path)):
         return {}
-    gt = json.load(open(gt_path))
-    if obj_id not in gt:
-        # online SLAM object ids need not match dataset indices; only the
-        # single-object case is unambiguous without a pose-level match
-        if len(gt) != 1:
-            return {}
-        obj_id = next(iter(gt))
+    try:
+        with open(gt_path) as f:
+            gt = json.load(f)
+        radii = {k: float(v["radius"]) for k, v in gt.items()}
+    except Exception:
+        return {}  # malformed sidecar: skip the mesh metric, keep the rest
+    # online SLAM object ids need not match dataset indices (output dirs are
+    # slot/creation order, the sidecar is dataset enumeration order) — only
+    # the single-object case is unambiguous without a pose-level match
+    if len(radii) != 1:
+        return {}
+    obj_id = next(iter(radii))
     try:
         from romap_tpu.utils.mesh_io import load_ply
 
@@ -108,7 +113,7 @@ def _mesh_metrics(obj_dir: str, dataset: str, obj_id: str):
     if r_fit <= 0:
         return {}
     return {
-        "mesh_radius_ratio": round(r_fit / float(gt[obj_id]["radius"]), 4),
+        "mesh_radius_ratio": round(r_fit / radii[obj_id], 4),
         "mesh_shape_rms": round(float(np.sqrt(np.mean(
             ((rad - r_fit) / r_fit) ** 2))), 4),
         "mesh_verts": int(len(verts)),
