@@ -2,8 +2,6 @@
 
 #include <algorithm>
 
-#include <opencv2/imgproc.hpp>
-
 namespace romap {
 
 OrbExtractor::OrbExtractor(int n_features, int grid)
@@ -50,26 +48,6 @@ void OrbExtractor::Extract(const cv::Mat& gray, std::vector<cv::KeyPoint>* kps,
   for (size_t i = 0; i < keep.size(); ++i) {
     kps->push_back(raw[keep[i]]);
     raw_desc.row(keep[i]).copyTo(desc->row(static_cast<int>(i)));
-  }
-
-  // Subpixel corner refinement: FAST/Harris corners localize to the pixel
-  // grid (~0.3 px rms noise), which is the dominant error source in the
-  // two-view/PnP pose chain downstream. Refine on the full-res image with
-  // a small window and revert any point the optimizer drags further than
-  // 1.5 px (blob-like textures can make cornerSubPix run away).
-  if (!kps->empty()) {
-    std::vector<cv::Point2f> pts;
-    pts.reserve(kps->size());
-    for (const auto& k : *kps) pts.push_back(k.pt);
-    std::vector<cv::Point2f> orig = pts;
-    cv::cornerSubPix(
-        gray, pts, cv::Size(3, 3), cv::Size(-1, -1),
-        cv::TermCriteria(cv::TermCriteria::EPS + cv::TermCriteria::COUNT, 8,
-                         0.02));
-    for (size_t i = 0; i < pts.size(); ++i) {
-      const cv::Point2f d = pts[i] - orig[i];
-      if (d.dot(d) <= 1.5f * 1.5f) (*kps)[i].pt = pts[i];
-    }
   }
 }
 

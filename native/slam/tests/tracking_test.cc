@@ -230,11 +230,8 @@ int main(int argc, char** argv) {
   std::printf("object center err: %.3f (est %.2f %.2f %.2f)\n", center_err,
               center_est[0], center_est[1], center_est[2]);
   // the silhouette-cone center refinement corrects the visible-surface
-  // depth bias; round-1 (point-extent midpoint only) measured 0.21 here.
-  // Sync measures 0.06; async depends on which keyframes land before the
-  // final shape pass (0.06 normally, 0.12 under TSAN's ~10x slowdown
-  // schedule) — the gate covers the worst observed schedule.
-  CHECK(center_err < 0.15f);
+  // depth bias; round-1 (point-extent midpoint only) measured 0.21 here
+  CHECK(center_err < 0.12f);
   obj->EstimateShape();
   std::printf("half extents: %.2f %.2f %.2f (true r=%.2f), nerfs=%d pushes=%d\n",
               obj->shape.a1 * scale, obj->shape.a2 * scale,
