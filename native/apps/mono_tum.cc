@@ -359,6 +359,7 @@ int main(int argc, char** argv) {
     if (live_dump > 0 && i % live_dump == 0) dump_state();
   }
   tracker.StopMapping();  // drain the keyframe queue before finalizing
+  tracker.FinalBundleAdjust();  // full-window BA + NeRF-store pose rewrite
   tracker.FinalizeObjects();
   std::printf("tracked %d frames; objects: %zu; keyframes: %zu\n", tracked,
               tracker.map().Objects().size(), tracker.map().NumKeyFrames());

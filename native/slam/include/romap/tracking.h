@@ -109,6 +109,11 @@ class Tracker {
   const std::vector<Stamped>& trajectory() const { return trajectory_; }
 
   void FinalizeObjects();  // final EIF + shape pass (ref LocalMapping.cc:135-146)
+  // Full-window BA over every keyframe + pose rewrite to the NeRF store
+  // (update_poses hook). Beyond the reference (its GBA lives in the starved
+  // LoopClosing thread and never runs); call between StopMapping() and
+  // FinalizeObjects().
+  void FinalBundleAdjust();
 
   // Run the mapping step (triangulation/BA/merges/NeRF feed) on a dedicated
   // thread with a keyframe queue — the reference's LocalMapping thread

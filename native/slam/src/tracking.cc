@@ -786,6 +786,27 @@ void Tracker::MappingLoop() {
   }
 }
 
+void Tracker::FinalBundleAdjust() {
+  std::vector<std::pair<double, SE3>> refined;
+  {
+    std::lock_guard<std::mutex> lk(map_mutex_);
+    auto kfs = map_.KeyFrames();
+    if (kfs.size() < 3) return;
+    // pin the gauge on the first two keyframes (scale + origin)
+    std::set<KeyFrame*> fixed{kfs[0], kfs[1]};
+    BAStats s1 = LocalBundleAdjust(kfs, fixed, /*iters=*/6);
+    BAStats s2 = LocalBundleAdjust(kfs, fixed, /*iters=*/4);  // post-strip
+    std::printf("[final BA] kfs=%zu pts=%d obs=%d rmse %.2f->%.2f->%.2f px\n",
+                kfs.size(), s2.n_points, s2.n_obs, s1.initial_rmse_px,
+                s1.final_rmse_px, s2.final_rmse_px);
+    refined.reserve(kfs.size());
+    for (KeyFrame* k : kfs) refined.push_back({k->timestamp, k->Twc()});
+  }
+  // rewrite every uploaded keyframe pose in the NeRF store (the runtime
+  // ignores stamps it has not seen), outside the map lock
+  if (hooks.update_poses && !refined.empty()) hooks.update_poses(refined);
+}
+
 void Tracker::FinalizeObjects() {
   FrameContext ctx{cur_.id, cur_.timestamp, cur_.tcw, cur_.cam, {}};
   for (ObjectMap* obj : map_.Objects()) {
