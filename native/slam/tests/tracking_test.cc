@@ -180,6 +180,7 @@ int main(int argc, char** argv) {
     }
   }
   if (async) tracker.StopMapping();
+  tracker.FinalBundleAdjust();  // mono_tum's shutdown order; must not throw
   std::printf("relocalized: tracked %d frames after the blackout\n",
               tracked_after_blackout);
   CHECK(tracked_after_blackout >= 15);  // recovered within ~10 frames
