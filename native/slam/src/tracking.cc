@@ -810,6 +810,14 @@ void Tracker::FinalBundleAdjust() {
 void Tracker::FinalizeObjects() {
   FrameContext ctx{cur_.id, cur_.timestamp, cur_.tcw, cur_.cam, {}};
   for (ObjectMap* obj : map_.Objects()) {
+    // retire end-of-sequence ghosts that never met the continue-obs rule
+    // (ref Minimum.continue.obs, src/Tracking.cc:1740-1760: objects need
+    // repeated observations before they count; a landmark created from the
+    // last frames can end the run below that bar)
+    if (!obj->have_nerf && obj->n_obs < cfg_.min_continue_obs) {
+      obj->SetBad("finalize: obs below Minimum.continue.obs");
+      continue;
+    }
     obj->EIFFilterOutliers();
     obj->EstimateShape();
     std::printf(
