@@ -160,34 +160,35 @@ void SaveTrajectoryTUM(const std::string& path,
   }
 }
 
-void SaveKeyFrameTrajectoryTUM(const std::string& path,
-                               const std::vector<KeyFrame*>& kfs) {
+void SaveKeyFrameTrajectoryTUM(
+    const std::string& path,
+    const std::vector<Tracker::MapSnapshot::KF>& kfs) {
   // ref System::SaveKeyFrameTrajectoryTUM src/System.cc:431-466
   std::ofstream f(path);
-  for (const KeyFrame* kf : kfs) {
-    SE3 twc = kf->Twc();
+  for (const auto& kf : kfs) {
+    SE3 twc = kf.tcw.inverse();
     float q[4];
     RotToQuat(twc.R, q);
     char buf[256];
     std::snprintf(buf, sizeof(buf), "%.6f %.7f %.7f %.7f %.7f %.7f %.7f %.7f\n",
-                  kf->timestamp, twc.t[0], twc.t[1], twc.t[2], q[0], q[1],
-                  q[2], q[3]);
+                  kf.t, twc.t[0], twc.t[1], twc.t[2], q[0], q[1], q[2], q[3]);
     f << buf;
   }
 }
 
-void SaveObjects(const std::string& path, const std::vector<ObjectMap*>& objs) {
+void SaveObjects(const std::string& path,
+                 const std::vector<Tracker::MapSnapshot::Obj>& objs) {
   // ref System::SaveObjects src/System.cc:529-563: ID class t q a1 a2 a3
   std::ofstream f(path);
-  for (const ObjectMap* o : objs) {
-    SE3 two = o->shape.t_obj_w.inverse();
+  for (const auto& o : objs) {
+    SE3 two = o.t_obj_w.inverse();
     float q[4];
     RotToQuat(two.R, q);
     char buf[256];
     std::snprintf(buf, sizeof(buf),
                   "%ld %d %.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f\n",
-                  o->id, o->cls, two.t[0], two.t[1], two.t[2], q[0], q[1], q[2],
-                  q[3], o->shape.a1, o->shape.a2, o->shape.a3);
+                  o.id, o.cls, two.t[0], two.t[1], two.t[2], q[0], q[1], q[2],
+                  q[3], o.a1, o.a2, o.a3);
     f << buf;
   }
 }
@@ -244,7 +245,10 @@ int main(int argc, char** argv) {
     mgr.reset(new monerf::NerfManagerOnline(socket, ds.use_sparse_depth,
                                             train_iters, /*capacity=*/8));
     mgr->Init();
-    // preallocate keyframe budget ~ nimages/3 (ref src/System.cc:135-138)
+    // preallocated keyframe budget: nimages/2 + 8 — a deliberately looser
+    // bound than the reference's nimages/3 (ref src/System.cc:135-138)
+    // because our keyframe policy fires more often on short sequences; the
+    // store grows if it overflows either way.
     mgr->DatasetInit(ds.fx, ds.fy, ds.cx, ds.cy, ds.h, ds.w,
                      std::max<size_t>(ds.stamps.size() / 2 + 8, 16));
     mgr->StartBackgroundTraining();
@@ -329,15 +333,16 @@ int main(int argc, char** argv) {
   int live_dump = 0;
   if (const char* ld = std::getenv("ROMAP_LIVE_DUMP")) live_dump = std::atoi(ld);
   auto dump_state = [&]() {
-    SaveTrajectoryTUM(out_dir + "/FrameTrajectory.txt", tracker.trajectory());
-    SaveKeyFrameTrajectoryTUM(out_dir + "/KeyFrameTrajectory.txt",
-                              tracker.map().KeyFrames());
-    SaveObjects(out_dir + "/objects.txt", tracker.map().Objects());
+    // Snapshot() copies under the map mutex — safe against the live mapping
+    // thread (BA rewrites poses/positions concurrently).
+    Tracker::MapSnapshot s = tracker.Snapshot();
+    SaveTrajectoryTUM(out_dir + "/FrameTrajectory.txt", s.trajectory);
+    SaveKeyFrameTrajectoryTUM(out_dir + "/KeyFrameTrajectory.txt", s.keyframes);
+    SaveObjects(out_dir + "/objects.txt", s.objects);
     FILE* f = std::fopen((out_dir + "/map_points.txt").c_str(), "w");
     if (!f) return;
-    for (const MapPoint* p : tracker.map().Points())
-      if (p && !p->bad)
-        std::fprintf(f, "%.4f %.4f %.4f\n", p->pos[0], p->pos[1], p->pos[2]);
+    for (const Vec3& p : s.points)
+      std::fprintf(f, "%.4f %.4f %.4f\n", p[0], p[1], p[2]);
     std::fclose(f);
   };
 

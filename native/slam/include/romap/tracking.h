@@ -108,6 +108,28 @@ class Tracker {
   };
   const std::vector<Stamped>& trajectory() const { return trajectory_; }
 
+  // Consistent copy of everything exporters/viewers read, taken under
+  // map_mutex_ in async mode — the mapping thread mutates keyframe poses,
+  // point positions (BA) and object shapes under the same lock, so reading
+  // the live Map mid-run without it is a data race.
+  struct MapSnapshot {
+    std::vector<Stamped> trajectory;
+    struct KF {
+      double t;
+      SE3 tcw;
+    };
+    std::vector<KF> keyframes;
+    std::vector<Vec3> points;
+    struct Obj {
+      long id;
+      int cls;
+      SE3 t_obj_w;
+      float a1, a2, a3;
+    };
+    std::vector<Obj> objects;
+  };
+  MapSnapshot Snapshot();
+
   void FinalizeObjects();  // final EIF + shape pass (ref LocalMapping.cc:135-146)
   // Full-window BA over every keyframe + pose rewrite to the NeRF store
   // (update_poses hook). Beyond the reference (its GBA lives in the starved

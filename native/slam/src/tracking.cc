@@ -751,6 +751,20 @@ void Tracker::TriggerNerf(KeyFrame* kf) {
   }
 }
 
+Tracker::MapSnapshot Tracker::Snapshot() {
+  std::unique_lock<std::mutex> lk(map_mutex_, std::defer_lock);
+  if (mapping_async_) lk.lock();
+  MapSnapshot s;
+  s.trajectory = trajectory_;
+  for (const KeyFrame* kf : map_.KeyFrames())
+    s.keyframes.push_back({kf->timestamp, kf->tcw});
+  for (const MapPoint* p : map_.Points()) s.points.push_back(p->pos);
+  for (const ObjectMap* o : map_.Objects())
+    s.objects.push_back({o->id, o->cls, o->shape.t_obj_w, o->shape.a1,
+                         o->shape.a2, o->shape.a3});
+  return s;
+}
+
 void Tracker::StartMapping() {
   if (mapping_thread_.joinable()) return;
   mapping_finish_ = false;

@@ -224,12 +224,16 @@ def generate_batch(
     s = cfg.train.samples_per_ray
     k_xy, k_color, k_jitter = jax.random.split(key, 3)
 
-    # Row lookups as one-hot matmuls (MXU) instead of gathers — bbox fields
-    # and pose entries are small ints / floats, exact in fp32.
+    # Row lookups as one-hot matmuls (MXU) instead of gathers — exact only
+    # with HIGHEST precision: TPU f32 dots default to one-pass bf16, which
+    # would round fids/coords > 256 and truncate pose entries.
     i = jnp.arange(r)
     idx_box = i % jnp.maximum(n_bbox, 1)
     oh_box = jax.nn.one_hot(idx_box, bboxes.shape[0], dtype=jnp.float32)
-    box = oh_box @ bboxes.astype(jnp.float32)  # [R, 5] (fid, x, y, h, w)
+    box = jnp.matmul(  # [R, 5] (fid, x, y, h, w)
+        oh_box, bboxes.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     fid = box[:, 0].astype(jnp.int32)
     bx, by = box[:, 1].astype(jnp.int32), box[:, 2].astype(jnp.int32)
     bh, bw = box[:, 3], box[:, 4]
@@ -245,7 +249,10 @@ def generate_batch(
     occluded = (inst != 0) & (inst != instance_id)
 
     oh_f = jax.nn.one_hot(fid, f, dtype=jnp.float32)
-    pose = (oh_f @ frames.poses.reshape(f, 16)).reshape(r, 4, 4)
+    pose = jnp.matmul(
+        oh_f, frames.poses.reshape(f, 16),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(r, 4, 4)
     o, d, d_norm = camera_rays(x, y, frames.intrinsics, pose, tow)
     tmin, tmax, hit = ray_aabb_intersect(o, d, aabb_min, aabb_max)
     tmin = jnp.maximum(tmin, 0.0)

@@ -177,23 +177,30 @@ class NerfManagerOnline:
             self._cond.wait()
 
     def _precompile(self, cap: int) -> None:
-        """Compile (and cache) the train step for a future capacity by
-        running one dummy wave at that shape; results are discarded. Runs on
-        a daemon thread — jit compilation is thread-safe and the brief dummy
-        execution interleaves with real waves via XLA's stream."""
+        """AOT-compile the train step for a future capacity: jit lower +
+        compile on ShapeDtypeStructs. Warms XLA's executable cache without
+        allocating device buffers or executing anything, so it cannot OOM a
+        live session. Runs on a daemon thread — jit compilation is
+        thread-safe."""
         try:
             with self._lock:
                 frames = self.store.arrays()
-            state = nerf.init_train_state(
-                jax.random.PRNGKey(0), cap, self.cfg, self.spec
+            struct = lambda t: jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), t
             )
-            objs = nerf.empty_objects(cap, self._max_bboxes)
-            state = nerf.train_objects(
-                state, objs, frames, self.cfg, self.spec,
+            state_s = jax.eval_shape(
+                lambda k: nerf.init_train_state(k, cap, self.cfg, self.spec),
+                jax.random.PRNGKey(0),
+            )
+            objs_s = jax.eval_shape(
+                lambda: nerf.empty_objects(cap, self._max_bboxes)
+            )
+            nerf.train_objects.lower(
+                state_s, objs_s, struct(frames), self.cfg, self.spec,
                 self.iters_per_wave, self.use_depth,
-            )
-            jax.device_get(state.loss)
-        except Exception:
+            ).compile()
+        except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+            print(f"[manager] precompile for capacity {cap} failed: {e!r}")
             with self._lock:
                 self._precompiled.discard(cap)  # retry on the next create
 

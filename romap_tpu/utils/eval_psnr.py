@@ -32,17 +32,27 @@ def _imread(path):
     return img
 
 
-def _ssim(a: np.ndarray, b: np.ndarray) -> float:
-    """Global SSIM on [0,1] grayscale (single-window variant — adequate for
-    crop-sized comparisons; not the 11x11 gaussian-window flavor)."""
+def _ssim(a: np.ndarray, b: np.ndarray, mask: np.ndarray | None = None) -> float:
+    """Standard SSIM (Wang et al. 2004): 11x11 Gaussian window, sigma 1.5,
+    on [0,1] grayscale; the SSIM map is averaged over `mask` (object pixels)
+    so background zeros don't inflate the score. Comparable to literature
+    numbers, unlike the single-window variant this replaced."""
+    import cv2
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
     c1, c2 = 0.01**2, 0.03**2
-    mu_a, mu_b = a.mean(), b.mean()
-    va, vb = a.var(), b.var()
-    cov = ((a - mu_a) * (b - mu_b)).mean()
-    return float(
-        ((2 * mu_a * mu_b + c1) * (2 * cov + c2))
-        / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2))
+    blur = lambda x: cv2.GaussianBlur(x, (11, 11), 1.5)
+    mu_a, mu_b = blur(a), blur(b)
+    va = blur(a * a) - mu_a * mu_a
+    vb = blur(b * b) - mu_b * mu_b
+    cov = blur(a * b) - mu_a * mu_b
+    smap = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a * mu_a + mu_b * mu_b + c1) * (va + vb + c2)
     )
+    if mask is not None and mask.any():
+        return float(smap[mask].mean())
+    return float(smap.mean())
 
 
 def _read_manifest(path):
@@ -71,7 +81,7 @@ def _stamp_to_image(dataset: str):
     return table
 
 
-def _mesh_metrics(obj_dir: str, dataset: str, obj_id: str):
+def _mesh_metrics(obj_dir: str, dataset: str):
     """Mesh-geometry metric for the synthetic spheres (the north star's
     "extracted-mesh geometry within tolerance"): fit a sphere to obj.ply
     (centroid + mean vertex radius, rotation/translation invariant — the
@@ -154,7 +164,7 @@ def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
         psnrs.append(-10.0 * np.log10(max(mse, 1e-9)))
         ga = renf[..., :3].mean(-1) * obj_px
         gb = gt[..., :3].mean(-1) * obj_px
-        ssims.append(_ssim(ga, gb))
+        ssims.append(_ssim(ga, gb, obj_px))
         if msk is not None:
             pred = (msk if msk.ndim == 2 else msk[..., 0]) > 127
             union = (pred | obj_px).sum()
@@ -168,7 +178,7 @@ def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
         "ssim": round(float(np.mean(ssims)), 4),
         "mask_iou": round(float(np.mean(ious)), 4) if ious else None,
     }
-    out.update(_mesh_metrics(obj_dir, dataset, os.path.basename(obj_dir)))
+    out.update(_mesh_metrics(obj_dir, dataset))
     return out
 
 

@@ -221,9 +221,12 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
 
-def serve(out_dir: str, port: int = 8642, background: bool = False):
+def serve(out_dir: str, port: int = 8642, background: bool = False,
+          host: str = "127.0.0.1"):
+    # loopback by default: the artifact tree (trajectory, map, meshes) should
+    # not be exposed network-wide unless the user passes --host explicitly
     _Handler.out_dir = out_dir
-    srv = ThreadingHTTPServer(("0.0.0.0", port), _Handler)
+    srv = ThreadingHTTPServer((host, port), _Handler)
     if background:
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         return srv
@@ -237,8 +240,10 @@ def cli():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
     ap.add_argument("--port", type=int, default=8642)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address (0.0.0.0 to expose on the network)")
     args = ap.parse_args()
-    serve(args.out_dir, args.port)
+    serve(args.out_dir, args.port, host=args.host)
 
 
 if __name__ == "__main__":

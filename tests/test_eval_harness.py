@@ -38,7 +38,7 @@ def _setup(tmp_path, mesh_radius, gt_radius):
 
 def test_mesh_metric_exact_sphere(tmp_path):
     out, ds = _setup(tmp_path, mesh_radius=0.6, gt_radius=0.6)
-    m = _mesh_metrics(out, ds, "0")
+    m = _mesh_metrics(out, ds)
     assert abs(m["mesh_radius_ratio"] - 1.0) < 0.01
     assert m["mesh_shape_rms"] < 0.01
     assert m["mesh_verts"] == 900
@@ -46,11 +46,11 @@ def test_mesh_metric_exact_sphere(tmp_path):
 
 def test_mesh_metric_scale_error(tmp_path):
     out, ds = _setup(tmp_path, mesh_radius=0.45, gt_radius=0.6)
-    m = _mesh_metrics(out, ds, "7")  # wrong id + single GT entry -> used
+    m = _mesh_metrics(out, ds)  # single GT entry is used regardless of dir name
     assert abs(m["mesh_radius_ratio"] - 0.75) < 0.01
     assert m["mesh_shape_rms"] < 0.01
 
 
 def test_mesh_metric_missing_inputs(tmp_path):
     os.makedirs(tmp_path / "empty")
-    assert _mesh_metrics(str(tmp_path / "empty"), str(tmp_path), "0") == {}
+    assert _mesh_metrics(str(tmp_path / "empty"), str(tmp_path)) == {}
