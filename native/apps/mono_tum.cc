@@ -263,9 +263,20 @@ int main(int argc, char** argv) {
       cv::Mat rgb_order;
       cv::cvtColor(rgb, rgb_order, cv::COLOR_BGR2RGB);
       SE3 twc = f.tcw.inverse();
+      // NeRF.UseSparseDepth: ship the BA-refined sparse depth as a NeRF
+      // supervision channel (ref src/LocalMapping.cc:1122-1180 uploads
+      // KeyFrame::GenerateSparseDepthImg output; consumed by the L1 depth
+      // loss, ref Core/src/nerf_model.cu:869-871). Zero pixels mean
+      // "no supervision" on both sides.
+      const float* depth_ptr = nullptr;
+      cv::Mat depth_cont;
+      if (ds.use_sparse_depth && !sparse_depth.empty()) {
+        depth_cont = sparse_depth.isContinuous() ? sparse_depth
+                                                 : sparse_depth.clone();
+        depth_ptr = depth_cont.ptr<float>(0);
+      }
       mgr->NewFrameToDataset(img_id, stamp, rgb_order.data, instance.data,
-                             nullptr, ToMat4(twc));
-      (void)sparse_depth;
+                             depth_ptr, ToMat4(twc));
     };
     tracker.hooks.create_nerf = [&](ObjectMap* obj) {
       // Round-1 margin: sparse monocular clouds cover only the seen faces,

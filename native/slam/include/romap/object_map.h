@@ -83,6 +83,19 @@ class ObjectMap {
   // midpoint, ref src/ObjectMap.cc:286-315).
   bool SilhouetteCenter(Vec3* out) const;
 
+  // Per-axis silhouette upper bounds on the half extents: in each history
+  // observation the detection box's support along the projected axis
+  // direction bounds extent x (pixels per unit length); the 20th
+  // percentile over views is a robust minimum of those upper bounds —
+  // tight for any axis some view sees transverse to the ray, loose for an
+  // axis foreshortened in every view (the caller compares against the
+  // cloud extent to tell the two apart). `r` rotates world -> object axes,
+  // `center_w` is the cuboid center in world. Returns false without >= 5
+  // usable (unclipped) views per axis. Beyond the reference (point-cloud
+  // extents only, ref src/ObjectMap.cc:613-672).
+  bool SilhouetteExtentBounds(const Mat3& r, const Vec3& center_w,
+                              float out[3]) const;
+
   void SetBad(const std::string& reason);
   bool IsBad() const { return bad_; }
 

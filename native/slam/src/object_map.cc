@@ -419,6 +419,39 @@ void ObjectMap::EstimateShape() {
     std::nth_element(dist.begin(), dist.begin() + (k - 1), dist.end(),
                      std::greater<float>());
     ext[a] = dist[k - 1];
+    if (std::getenv("ROMAP_EXT_DEBUG")) {
+      std::sort(dist.begin(), dist.end(), std::greater<float>());
+      std::printf("[ext] axis %d n=%d k=%d top:", a, n, k);
+      for (int j = 0; j < std::min(n, 20); ++j) std::printf(" %.3f", dist[j]);
+      std::printf("\n");
+    }
+  }
+  // Silhouette correction: the trimmed point-cloud extent is biased short
+  // wherever ORB features undersample the surface (e.g. sphere poles —
+  // round 2 measured z 31% short) and biased long when a stray triangulation
+  // survives the trim. The detection-box silhouettes constrain the true
+  // extent from above in every view; their robust minimum is tight for any
+  // axis some view sees transverse to the ray. Trust it within a sanity
+  // band around the cloud estimate (detector boxes can be loose or span
+  // occluders). Goes beyond the reference (cloud extents only,
+  // ref src/ObjectMap.cc:613-672).
+  float sil[3];
+  if (SilhouetteExtentBounds(r, t_obj_w.inverse().t, sil)) {
+    for (int a = 0; a < 3; ++a) {
+      if (sil[a] < 1.35f * ext[a]) {
+        // tight bound: some view saw the axis transverse to the ray — the
+        // silhouette carries the full extent (incl. surface regions ORB
+        // never triangulates) where the cloud is biased short, and caps a
+        // stray-inflated cloud from above
+        ext[a] = sil[a];
+      } else {
+        // loose bound (axis foreshortened in every view, e.g. the depth
+        // axis of a narrow-arc sequence): only useful as a stray cap
+        ext[a] = std::min(ext[a], sil[a]);
+      }
+      if (std::getenv("ROMAP_EXT_DEBUG"))
+        std::printf("[ext] axis %d sil=%.3f -> ext=%.3f\n", a, sil[a], ext[a]);
+    }
   }
   Vec3 t_shape(-qc[0], -qc[1], -qc[2]);
   shape.t_obj_w = SE3{r, t_shape};
@@ -543,6 +576,57 @@ void ObjectMap::InsertHistoryBboxAndTwc(const FrameContext& frame,
   history_twc[frame.timestamp] = frame.tcw.inverse().matrix();
   hist_cam = frame.cam;
   have_hist_cam = true;
+}
+
+bool ObjectMap::SilhouetteExtentBounds(const Mat3& r, const Vec3& center_w,
+                                       float out[3]) const {
+  if (!have_hist_cam || history_bbox.size() < 8) return false;
+  std::vector<float> bounds[3];
+  for (const auto& kv : history_bbox) {
+    auto it = history_twc.find(kv.first);
+    if (it == history_twc.end()) continue;
+    const Bbox& bb = kv.second;
+    if (bb.edge_and_small) continue;
+    // a box clipped at the image border truncates the silhouette: its
+    // support understates the extent, poisoning a minimum-style statistic
+    const float m = 2.0f;
+    if (bb.rect.x <= hist_cam.min_x + m || bb.rect.y <= hist_cam.min_y + m ||
+        bb.rect.x + bb.rect.width >= hist_cam.max_x - m ||
+        bb.rect.y + bb.rect.height >= hist_cam.max_y - m)
+      continue;
+    const Mat4& twc = it->second;
+    // invert the stored camera-to-world pose
+    Mat3 rcw;
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) rcw(i, j) = twc(j, i);
+    Vec3 t_wc(twc(0, 3), twc(1, 3), twc(2, 3));
+    Vec3 tcw = -(rcw * t_wc);
+    Vec3 cc = rcw * center_w + tcw;
+    if (cc[2] < 1e-3f) continue;
+    float z = cc[2];
+    for (int a = 0; a < 3; ++a) {
+      Vec3 w_a(r(a, 0), r(a, 1), r(a, 2));  // object axis a in world coords
+      Vec3 dc = rcw * w_a;
+      // image-space Jacobian of the projection along this axis at the
+      // center: du = fx*(dX*Z - X*dZ)/Z^2 (and the v analog)
+      float gu = hist_cam.fx * (dc[0] * z - cc[0] * dc[2]) / (z * z);
+      float gv = hist_cam.fy * (dc[1] * z - cc[1] * dc[2]) / (z * z);
+      float g = std::sqrt(gu * gu + gv * gv);  // pixels per world unit
+      if (g < 1e-6f) continue;  // axis along the view ray: unconstrained
+      // rect support along the projected axis direction, in pixels
+      float supp = 0.5f * (std::abs(gu) * bb.rect.width +
+                           std::abs(gv) * bb.rect.height) / g;
+      bounds[a].push_back(supp / g);
+    }
+  }
+  for (int a = 0; a < 3; ++a) {
+    if (bounds[a].size() < 5) return false;
+    size_t k = bounds[a].size() / 5;  // 20th percentile
+    std::nth_element(bounds[a].begin(), bounds[a].begin() + k,
+                     bounds[a].end());
+    out[a] = bounds[a][k];
+  }
+  return true;
 }
 
 bool ObjectMap::SilhouetteCenter(Vec3* out) const {

@@ -244,12 +244,22 @@ int main(int argc, char** argv) {
               obj->shape.a1 * scale, obj->shape.a2 * scale,
               obj->shape.a3 * scale, world.sphere_r, created_nerfs,
               bbox_pushes);
-  CHECK(std::abs(obj->shape.a1 * scale - world.sphere_r) < 0.15f);
-  CHECK(std::abs(obj->shape.a2 * scale - world.sphere_r) < 0.15f);
-  // depth extent is under-observed on monocular input (only the visible
-  // hemisphere carries points); mirrored extents recover part of it, and
-  // async-mapping timing varies how much — allow a wider band
-  CHECK(std::abs(obj->shape.a3 * scale - world.sphere_r) < 0.25f);
+  // transverse extents (a1/a2): silhouette-bounded, gated at +-15% relative
+  // (round 3: measured ~0.43 vs true 0.45 on sync and async runs)
+  CHECK(std::abs(obj->shape.a1 * scale - world.sphere_r) <
+        0.15f * world.sphere_r);
+  CHECK(std::abs(obj->shape.a2 * scale - world.sphere_r) <
+        0.15f * world.sphere_r);
+  // the depth axis is foreshortened in EVERY view of this ~27-degree arc —
+  // neither features (visible-hemisphere cloud, EIF-trimmed tails) nor
+  // silhouettes (a pancake and a sphere cast near-identical boxes here)
+  // observe it fully. The estimator is gated asymmetrically: never inflated
+  // (> +15%), up to 40% short (measured 0.31 vs 0.45 = -31%)
+  CHECK(obj->shape.a3 * scale - world.sphere_r < 0.15f * world.sphere_r);
+  // async mapping freezes the shape at a timing-dependent point count
+  // (measured spread 0.22-0.35 across runs); sync is deterministic at 0.31
+  CHECK(world.sphere_r - obj->shape.a3 * scale <
+        (async ? 0.55f : 0.40f) * world.sphere_r);
   CHECK(created_nerfs >= 1);
   CHECK(bbox_pushes >= 6);
 
