@@ -10,7 +10,11 @@
 //        [max_frames]
 
 #include <cmath>
+#include <cstdint>
 #include <cstdio>
+#include <cstdlib>
+#include <chrono>
+#include <thread>
 #include <fstream>
 #include <algorithm>
 #include <map>
@@ -279,11 +283,16 @@ int main(int argc, char** argv) {
                              depth_ptr, ToMat4(twc));
     };
     tracker.hooks.create_nerf = [&](ObjectMap* obj) {
-      // Round-1 margin: sparse monocular clouds cover only the seen faces,
-      // so the cuboid underestimates the object; a generous margin keeps the
-      // whole object inside the NeRF volume (the reference's 1.1x assumes a
-      // mature point cloud; shrink this as the object layer improves).
-      float m = 2.0f;
+      // Reference-parity bounding box: the manager applies the reference's
+      // 1.1x (1.2x for classes 41/73) inflation on top (ref Core/src/
+      // nerf.cu:162-172) — no extra margin here. Round 1 used 2.0x while
+      // cuboids were 70% oversized/biased; with silhouette-bounded extents
+      // (center err 0.049, transverse extents within 5%) the margin only
+      // diluted field capacity ~10x by volume. ROMAP_NERF_MARGIN overrides
+      // for A/B runs.
+      float m = 1.0f;
+      if (const char* env_m = std::getenv("ROMAP_NERF_MARGIN"))
+        m = std::atof(env_m);
       monerf::BoundingBox bb{
           {-m * obj->shape.a1, -m * obj->shape.a2, -m * obj->shape.a3},
           {m * obj->shape.a1, m * obj->shape.a2, m * obj->shape.a3}};
@@ -357,8 +366,15 @@ int main(int argc, char** argv) {
     std::fclose(f);
   };
 
-  // main loop (ref examples/Monocular/mono_tum.cc:85-103)
+  // main loop (ref examples/Monocular/mono_tum.cc:85-103: per-frame track
+  // timing; ROMAP_PACE=1 additionally paces frames by dataset timestamps
+  // like the reference's usleep(T - ttrack))
+  bool pace = std::getenv("ROMAP_PACE") != nullptr;
   int tracked = 0;
+  std::vector<double> track_ms;
+  size_t max_behind = 0;
+  double first_stamp = 0, last_stamp = 0;
+  auto wall0 = std::chrono::steady_clock::now();
   for (size_t i = 0; i < std::min(max_frames, ds.stamps.size()); ++i) {
     cv::Mat bgr = cv::imread(dataset + "/rgb/" + ds.names[i], cv::IMREAD_COLOR);
     cv::Mat instance =
@@ -371,14 +387,54 @@ int main(int argc, char** argv) {
     cv::cvtColor(bgr, gray, cv::COLOR_BGR2GRAY);
     auto dets = ReadBboxFile(dataset + "/bbox/" + ds.stamps[i] + ".txt", ds);
     double t = std::atof(ds.stamps[i].c_str());
+    if (i == 0) first_stamp = t;
+    last_stamp = t;
+    auto t0 = std::chrono::steady_clock::now();
     if (tracker.Track(gray, instance, dets, t, bgr)) ++tracked;
+    double ms = std::chrono::duration<double, std::milli>(
+                    std::chrono::steady_clock::now() - t0)
+                    .count();
+    track_ms.push_back(ms);
+    max_behind = std::max(max_behind, tracker.QueueDepth());
     if (live_dump > 0 && i % live_dump == 0) dump_state();
+    if (pace && i + 1 < ds.stamps.size()) {
+      double dt = std::atof(ds.stamps[i + 1].c_str()) - t;
+      if (dt > ms / 1000.0)
+        std::this_thread::sleep_for(
+            std::chrono::duration<double>(dt - ms / 1000.0));
+    }
   }
+  double wall_s = std::chrono::duration<double>(
+                      std::chrono::steady_clock::now() - wall0)
+                      .count();
   tracker.StopMapping();  // drain the keyframe queue before finalizing
   tracker.FinalBundleAdjust();  // full-window BA + NeRF-store pose rewrite
   tracker.FinalizeObjects();
   std::printf("tracked %d frames; objects: %zu; keyframes: %zu\n", tracked,
               tracker.map().Objects().size(), tracker.map().NumKeyFrames());
+
+  // timing telemetry (ref examples/Monocular/mono_tum.cc:107-122 prints
+  // median/mean track time; src/LocalMapping.cc:160-169 mapping stats)
+  auto stats = [](std::vector<double> v) {
+    double mean = 0, med = 0;
+    if (!v.empty()) {
+      for (double x : v) mean += x;
+      mean /= v.size();
+      std::sort(v.begin(), v.end());
+      med = v[v.size() / 2];
+    }
+    return std::pair<double, double>(med, mean);
+  };
+  auto [tmed, tmean] = stats(track_ms);
+  auto [mmed, mmean] = stats(tracker.mapping_ms());
+  double seq_s = last_stamp - first_stamp;
+  std::printf("median tracking time: %.2f ms (mean %.2f)\n", tmed, tmean);
+  std::printf("median mapping time: %.2f ms (mean %.2f, %zu keyframe jobs)\n",
+              mmed, mmean, tracker.mapping_ms().size());
+  std::printf("max frames behind (kf queue depth): %zu\n", max_behind);
+  if (seq_s > 0)
+    std::printf("real-time factor: %.2fx (%.1fs sequence in %.1fs wall)\n",
+                seq_s / wall_s, seq_s, wall_s);
 
   if (mgr) {
     mgr->WaitThreadsEnd();  // ref SLAM.FinishNeRFs
@@ -387,34 +443,94 @@ int main(int argc, char** argv) {
       for (size_t k = 0; k < losses.size(); ++k)
         std::printf("nerf %zu final loss: %f\n", k, losses[k]);
     }
-    // held-out evaluation renders per NeRF'd object
-    // (ref System::RenderNeRFsTest src/System.cc:570-611)
+    // held-out evaluation renders per NeRF'd object: ALL non-keyframe
+    // observations, the 360-degree orbit video, and obj.ply — full artifact
+    // parity with the reference (ref System::RenderNeRFsTest src/System.cc:
+    // 570-611 -> Core/src/nerf.cu:255-404). ROMAP_EVAL_MAX_VIEWS caps the
+    // view count and ROMAP_NO_VIDEO=1 skips the orbit (test speed).
+    size_t max_views = SIZE_MAX;
+    if (const char* mv = std::getenv("ROMAP_EVAL_MAX_VIEWS"))
+      max_views = static_cast<size_t>(std::atoll(mv));
+    bool video = std::getenv("ROMAP_NO_VIDEO") == nullptr;
+    // stamp (microseconds) -> dataset image index, for eval-view pixel crops
+    std::map<long long, size_t> stamp_us_to_ds;
+    for (size_t k = 0; k < ds.stamps.size(); ++k)
+      stamp_us_to_ds[static_cast<long long>(std::atof(ds.stamps[k].c_str())
+                                            * 1e6)] = k;
     for (ObjectMap* obj : tracker.map().Objects()) {
       if (!obj->have_nerf || !nerf_idx.count(obj)) continue;
       std::vector<std::string> stamps;
       std::vector<monerf::FrameIdAndBbox> boxes;
       std::vector<monerf::Mat4> twcs;
+      std::vector<std::vector<uint8_t>> view_rgb, view_mask;
       for (const auto& kv : obj->history_bbox) {
         if (obj->keyframe_history_bbox.count(kv.first)) continue;  // held-out
         char stamp[64];
         std::snprintf(stamp, sizeof(stamp), "%.6f", kv.first);
-        stamps.push_back(stamp);
         const auto& r = kv.second.rect;
-        boxes.push_back({0, static_cast<uint32_t>(std::max(r.x, 0.0f)),
-                         static_cast<uint32_t>(std::max(r.y, 0.0f)),
-                         static_cast<uint32_t>(r.height),
-                         static_cast<uint32_t>(r.width)});
+        uint32_t bx = static_cast<uint32_t>(std::max(r.x, 0.0f));
+        uint32_t by = static_cast<uint32_t>(std::max(r.y, 0.0f));
+        uint32_t bh = static_cast<uint32_t>(r.height);
+        uint32_t bw = static_cast<uint32_t>(r.width);
+        if (bx + bw > static_cast<uint32_t>(ds.w))
+          bw = static_cast<uint32_t>(ds.w) - bx;
+        if (by + bh > static_cast<uint32_t>(ds.h))
+          bh = static_cast<uint32_t>(ds.h) - by;
+        if (bh < 8 || bw < 8) continue;
+        stamps.push_back(stamp);
+        boxes.push_back({0, bx, by, bh, bw});
         monerf::Mat4 m;
         const Mat4& src = obj->history_twc.at(kv.first);
         for (int k = 0; k < 16; ++k) m.m[k] = src.val[k];
         twcs.push_back(m);
-        if (stamps.size() >= 8) break;  // a handful of eval views
+        // ship the bbox crop (RGB + object mask) so the runtime can
+        // photometrically refine this view's raw tracking pose against the
+        // trained field before rendering
+        std::vector<uint8_t> crgb, cmask;
+        auto it = stamp_us_to_ds.find(
+            static_cast<long long>(kv.first * 1e6));
+        if (it != stamp_us_to_ds.end()) {
+          cv::Mat bgr = cv::imread(dataset + "/rgb/" + ds.names[it->second],
+                                   cv::IMREAD_COLOR);
+          cv::Mat inst = cv::imread(
+              dataset + "/instance/" + ds.names[it->second],
+              cv::IMREAD_UNCHANGED);
+          if (!bgr.empty() && !inst.empty()) {
+            if (inst.channels() > 1) cv::extractChannel(inst, inst, 0);
+            cv::Rect roi(static_cast<int>(bx), static_cast<int>(by),
+                         static_cast<int>(bw), static_cast<int>(bh));
+            cv::Mat crop_rgb;
+            cv::cvtColor(bgr(roi), crop_rgb, cv::COLOR_BGR2RGB);
+            cv::Mat crop_inst = inst(roi);
+            // object mask = majority nonzero instance value in the crop
+            // (a bbox may clip a second object's pixels)
+            std::map<int, int> counts;
+            for (int yy = 0; yy < crop_inst.rows; ++yy)
+              for (int xx = 0; xx < crop_inst.cols; ++xx) {
+                int v = crop_inst.at<uint8_t>(yy, xx);
+                if (v) counts[v]++;
+              }
+            int best_v = 0, best_n = 0;
+            for (auto& [v, nn] : counts)
+              if (nn > best_n) { best_v = v; best_n = nn; }
+            crgb.assign(crop_rgb.data,
+                        crop_rgb.data + static_cast<size_t>(bh) * bw * 3);
+            cmask.resize(static_cast<size_t>(bh) * bw, 0);
+            for (int yy = 0; yy < crop_inst.rows; ++yy)
+              for (int xx = 0; xx < crop_inst.cols; ++xx)
+                if (crop_inst.at<uint8_t>(yy, xx) == best_v)
+                  cmask[static_cast<size_t>(yy) * bw + xx] = 255;
+          }
+        }
+        view_rgb.push_back(std::move(crgb));
+        view_mask.push_back(std::move(cmask));
+        if (stamps.size() >= max_views) break;
       }
       float radius = 5.0f * obj->shape.max_dist;
-      std::printf("render test: object %ld -> %zu views\n", obj->id,
-                  stamps.size());
+      std::printf("render test: object %ld -> %zu views (video=%d)\n",
+                  obj->id, stamps.size(), video ? 1 : 0);
       mgr->RenderNeRFsTest(out_dir, nerf_idx[obj], stamps, boxes, twcs, radius,
-                           /*video=*/false);
+                           video, &view_rgb, &view_mask);
     }
   }
 

@@ -78,12 +78,20 @@ class NerfManagerOnline {
   // ref WaitThreadsEnd()
   bool WaitThreadsEnd();
 
-  // ref RenderNeRFsTest(out_path, Idx, timestamps, vBbox, vTwc, radius)
+  // ref RenderNeRFsTest(out_path, Idx, timestamps, vBbox, vTwc, radius).
+  // Extras over the reference: per-view bbox crops of the original image
+  // (view_rgb: h*w*3 RGB u8, view_mask: h*w object-mask u8, empty vector =
+  // absent) let the runtime photometrically refine each held-out view's
+  // pose against the trained field before rendering.
   void RenderNeRFsTest(const std::string& out_path, std::size_t idx,
                        const std::vector<std::string>& timestamps,
                        const std::vector<FrameIdAndBbox>& boxes,
                        const std::vector<Mat4>& twcs, float radius,
-                       bool video = true);
+                       bool video = true,
+                       const std::vector<std::vector<uint8_t>>* view_rgb =
+                           nullptr,
+                       const std::vector<std::vector<uint8_t>>* view_mask =
+                           nullptr);
 
   // Mesh fetch for the viewer (ref DrawMesh draws it; we return the data).
   bool GetMesh(std::size_t idx, MeshData* out);

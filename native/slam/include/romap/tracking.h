@@ -145,6 +145,11 @@ class Tracker {
   void StartMapping();
   void StopMapping();  // drain the queue, then join
 
+  // --- timing telemetry (ref examples/Monocular/mono_tum.cc:85-122 prints
+  // median/mean tracking times; src/LocalMapping.cc:160-169 mapping) ---
+  size_t QueueDepth();  // pending keyframes = how far mapping lags tracking
+  std::vector<double> mapping_ms();  // per-MappingStep wall times
+
  private:
   void BuildFrame(const cv::Mat& gray, const cv::Mat& instance,
                   const std::vector<Detection>& detections, double timestamp);
@@ -199,6 +204,7 @@ class Tracker {
   std::condition_variable queue_cv_;
   std::deque<PendingKF> kf_queue_;
   bool mapping_finish_ = false;
+  std::vector<double> mapping_ms_;  // guarded by queue_mutex_
 
   // per-object creation-time viewing direction (for the angle trigger)
   std::map<ObjectMap*, Vec3> first_view_dir_;

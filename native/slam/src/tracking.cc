@@ -1,4 +1,6 @@
 #include "romap/tracking.h"
+
+#include <chrono>
 #include <cstdio>
 #include <cstdlib>
 
@@ -796,8 +798,26 @@ void Tracker::MappingLoop() {
       job = std::move(kf_queue_.front());
       kf_queue_.pop_front();
     }
+    auto t0 = std::chrono::steady_clock::now();
     MappingStep(job.kf, job.rgb, job.instance, job.lines);
+    double ms = std::chrono::duration<double, std::milli>(
+                    std::chrono::steady_clock::now() - t0)
+                    .count();
+    {
+      std::lock_guard<std::mutex> ql(queue_mutex_);
+      mapping_ms_.push_back(ms);
+    }
   }
+}
+
+size_t Tracker::QueueDepth() {
+  std::lock_guard<std::mutex> ql(queue_mutex_);
+  return kf_queue_.size();
+}
+
+std::vector<double> Tracker::mapping_ms() {
+  std::lock_guard<std::mutex> ql(queue_mutex_);
+  return mapping_ms_;
 }
 
 void Tracker::FinalBundleAdjust() {

@@ -119,7 +119,9 @@ void NerfManagerOnline::RenderNeRFsTest(
     const std::string& out_path, std::size_t idx,
     const std::vector<std::string>& timestamps,
     const std::vector<FrameIdAndBbox>& boxes, const std::vector<Mat4>& twcs,
-    float radius, bool video) {
+    float radius, bool video,
+    const std::vector<std::vector<uint8_t>>* view_rgb,
+    const std::vector<std::vector<uint8_t>>* view_mask) {
   Writer w;
   w.i32(static_cast<int32_t>(idx));
   w.f32(radius);
@@ -134,6 +136,15 @@ void NerfManagerOnline::RenderNeRFsTest(
                       static_cast<int32_t>(boxes[i].w)};
     w.bytes(box, sizeof(box));
     w.bytes(twcs[i].m, sizeof(twcs[i].m));
+    const size_t px = static_cast<size_t>(boxes[i].h) * boxes[i].w;
+    bool have = view_rgb && view_mask && i < view_rgb->size() &&
+                (*view_rgb)[i].size() == px * 3 &&
+                (*view_mask)[i].size() == px;
+    w.u8(have ? 1 : 0);
+    if (have) {
+      w.bytes((*view_rgb)[i].data(), px * 3);
+      w.bytes((*view_mask)[i].data(), px);
+    }
   }
   client_->call(Op::kRenderTest, w);
 }

@@ -115,8 +115,11 @@ class FrameStore:
         self._dirty = True
 
     def arrays(self, sharding=None) -> FrameArrays:
-        """Device view; re-uploads only when host buffers changed."""
-        if self._dirty or self._arrays is None:
+        """Device view; re-uploads only when host buffers changed or the
+        requested placement changed (the manager's mesh can grow)."""
+        if (self._dirty or self._arrays is None
+                or sharding != getattr(self, "_last_sharding", None)):
+            self._last_sharding = sharding
             put = (lambda x: jax.device_put(x, sharding)) if sharding else jnp.asarray
             self._arrays = FrameArrays(
                 pixels=put(self._pixels),

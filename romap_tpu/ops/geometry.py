@@ -117,6 +117,50 @@ def stratified_distances(tmin, tmax, jitter, n_samples: int):
     return tmin[..., None] + dt[..., None] * (n + jitter)
 
 
+def se3_exp(delta):
+    """SE(3) exponential map: [..., 6] (omega, v) -> [..., 4, 4].
+
+    Small-angle safe (Taylor fallbacks below 1e-6). Used by the photometric
+    pose refiner (a capability beyond the reference, which renders eval
+    views at raw tracking poses, ref nerf.cu:255-404).
+    """
+    w = delta[..., :3]
+    v = delta[..., 3:]
+    theta2_raw = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]  # [...,1,1]
+    small = theta2_raw < 1e-12
+    # Safe-denominator pattern: the untaken where-branch is still
+    # DIFFERENTIATED, and (theta - sin theta)/theta^3 has a divide-by-~0
+    # gradient at theta=0 that would poison the whole backward pass with
+    # NaN. Substitute theta=1 wherever the Taylor branch wins.
+    theta2 = jnp.where(small, 1.0, theta2_raw)
+    theta = jnp.sqrt(theta2)
+    zeros = jnp.zeros_like(w[..., 0])
+    k = jnp.stack(
+        [
+            jnp.stack([zeros, -w[..., 2], w[..., 1]], axis=-1),
+            jnp.stack([w[..., 2], zeros, -w[..., 0]], axis=-1),
+            jnp.stack([-w[..., 1], w[..., 0], zeros], axis=-1),
+        ],
+        axis=-2,
+    )  # [..., 3, 3]
+    kk = k @ k
+    a = jnp.where(small, 1.0 - theta2_raw / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2_raw / 24.0,
+                  (1.0 - jnp.cos(theta)) / theta2)
+    c = jnp.where(small, 1.0 / 6.0 - theta2_raw / 120.0,
+                  (theta - jnp.sin(theta)) / (theta2 * theta))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=delta.dtype), k.shape)
+    r = eye + a * k + b * kk
+    vmat = eye + b * k + c * kk
+    t = jnp.einsum("...ij,...j->...i", vmat, v)
+    top = jnp.concatenate([r, t[..., None]], axis=-1)  # [..., 3, 4]
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], delta.dtype),
+        top.shape[:-2] + (1, 4),
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def orbit_pose(theta_deg, phi_deg, radius):
     """Object-centric orbit camera pose Toc (ref GenerateToc nerf_model.cu:2186-2205).
 

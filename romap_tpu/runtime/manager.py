@@ -42,9 +42,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import math
+
 from romap_tpu.config import NerfConfig, load_network_config
 from romap_tpu.data.frame_store import FrameStore
 from romap_tpu.models import nerf
+from romap_tpu.parallel import sharding as shardlib
 from romap_tpu.runtime import artifacts
 
 MIN_BBOXES_TO_TRAIN = 10  # ref nerf.cu:222
@@ -60,6 +63,7 @@ class NerfManagerOnline:
         mesh_every_waves: int = 2,
         mesh_enabled: bool = True,
         final_waves: int = 1,
+        mesh: "jax.sharding.Mesh | None" = None,
     ):
         if isinstance(network_config, NerfConfig):
             self.cfg = network_config
@@ -80,6 +84,20 @@ class NerfManagerOnline:
         # a short sequence may end long before the offline 5000-step
         # budget. Reuses the compiled wave shape (no recompile).
         self.final_waves = max(1, int(final_waves))
+
+        # Multi-chip by default: object-axis dp over a 1-D device mesh (the
+        # TPU-native form of the reference's replicate-dataset + round-robin
+        # objects multi-GPU path, ref nerf_manager.cu:189-218, nerf.cu:
+        # 27-33). An explicit `mesh` pins the devices (capacity is padded to
+        # a multiple of its size); by default the mesh adapts to
+        # gcd(capacity, local devices) so capacity semantics are identical
+        # on 1 chip and on a pod slice.
+        self._mesh_arg = mesh
+        if mesh is not None:
+            self.capacity = shardlib.pad_capacity(self.capacity, mesh)
+        self.mesh = mesh or shardlib.make_mesh(
+            math.gcd(self.capacity, len(jax.devices()))
+        )
 
         self.store: FrameStore | None = None
         self.state: nerf.TrainState | None = None
@@ -122,8 +140,12 @@ class NerfManagerOnline:
             n_bbox=np.zeros(self.capacity, np.int32),
             active=np.zeros(self.capacity, bool),
         )
-        self.state = nerf.init_train_state(
-            jax.random.PRNGKey(self.cfg.seed), self.capacity, self.cfg, self.spec
+        self.state = shardlib.shard_objects(
+            nerf.init_train_state(
+                jax.random.PRNGKey(self.cfg.seed), self.capacity, self.cfg,
+                self.spec,
+            ),
+            self.mesh,
         )
 
     def new_frame_to_dataset(self, img_id: int, stamp: str, rgb, instance,
@@ -222,8 +244,17 @@ class NerfManagerOnline:
             jax.random.PRNGKey(self.cfg.seed + old_cap), new_cap - old_cap,
             self.cfg, self.spec,
         )
-        self.state = jax.tree.map(
-            lambda a, b: jnp.concatenate([a, b], 0), self.state, extra
+        if self._mesh_arg is None:
+            # adapt the mesh to the doubled table (more devices can carry
+            # object rows now); resharding happens in the device_put below
+            self.mesh = shardlib.make_mesh(
+                math.gcd(new_cap, len(jax.devices()))
+            )
+        self.state = shardlib.shard_objects(
+            jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], 0), self.state, extra
+            ),
+            self.mesh,
         )
         self._pending_waves = np.concatenate(
             [self._pending_waves, np.zeros(new_cap - old_cap, np.int64)]
@@ -250,15 +281,19 @@ class NerfManagerOnline:
     # -------------------------------------------------------------- training
     def _objects_state(self, active_mask: np.ndarray) -> nerf.ObjectsState:
         o = self._objs
+        put = lambda x: jax.device_put(x, shardlib.object_sharding(self.mesh))
         return nerf.ObjectsState(
-            aabb_min=jnp.asarray(o["aabb_min"]),
-            aabb_max=jnp.asarray(o["aabb_max"]),
-            tow=jnp.asarray(o["tow"]),
-            instance_id=jnp.asarray(o["instance_id"]),
-            bboxes=jnp.asarray(o["bboxes"]),
-            n_bbox=jnp.asarray(o["n_bbox"]),
-            active=jnp.asarray(active_mask),
+            aabb_min=put(o["aabb_min"]),
+            aabb_max=put(o["aabb_max"]),
+            tow=put(o["tow"]),
+            instance_id=put(o["instance_id"]),
+            bboxes=put(o["bboxes"]),
+            n_bbox=put(o["n_bbox"]),
+            active=put(active_mask),
         )
+
+    def _frames(self):
+        return self.store.arrays(sharding=shardlib.replicated(self.mesh))
 
     def _trainable(self) -> np.ndarray:
         return (self._pending_waves > 0) & (self._objs["n_bbox"] > MIN_BBOXES_TO_TRAIN)
@@ -276,7 +311,7 @@ class NerfManagerOnline:
                 if not mask.any():
                     break
                 objs = self._objects_state(mask)
-                frames = self.store.arrays()
+                frames = self._frames()
                 state = self.state
                 self._train_busy = True
             try:
@@ -347,7 +382,7 @@ class NerfManagerOnline:
                 objs = self._objects_state(mask)
                 for _ in range(self.final_waves):
                     self.state = nerf.train_objects(
-                        self.state, objs, self.store.arrays(), self.cfg,
+                        self.state, objs, self._frames(), self.cfg,
                         self.spec, self.iters_per_wave, self.use_depth,
                     )
                 jax.device_get(self.state.loss)
@@ -368,11 +403,35 @@ class NerfManagerOnline:
             return np.asarray(jax.device_get(self.state.loss))[: self._n_objects]
 
     def render_nerfs_test(self, out_path: str, idx: int, stamps, boxes, twcs,
-                          radius: float, video: bool = True) -> None:
-        """ref RenderNeRFsTest nerf_manager.cu:280-285 -> RenderTestImg."""
+                          radius: float, video: bool = True,
+                          pixels=None) -> None:
+        """ref RenderNeRFsTest nerf_manager.cu:280-285 -> RenderTestImg.
+
+        `pixels`: optional per-view (rgb u8 crop, object-mask u8 crop) of
+        the ORIGINAL image at the bbox. When present, each such view's pose
+        is photometrically refined against the trained frozen field before
+        rendering (held-out views keep raw tracking poses otherwise — the
+        dominant online eval error; see runtime/pose_refine.py)."""
         with self._cond:
             self._wait_idle_locked()
             params = jax.tree.map(lambda a: a[idx], self.state.ema)
+        twcs = [np.asarray(t, np.float32) for t in twcs]
+        if pixels is not None and any(p is not None for p in pixels):
+            from romap_tpu.runtime import pose_refine
+
+            sel = [i for i, p in enumerate(pixels) if p is not None]
+            refined, stats = pose_refine.refine_view_poses_host(
+                params, self.store._intrinsics,
+                [twcs[i] for i in sel], self._objs["tow"][idx],
+                self._objs["aabb_min"][idx], self._objs["aabb_max"][idx],
+                [tuple(int(v) for v in boxes[i]) for i in sel],
+                [pixels[i] for i in sel], self.cfg, self.spec,
+            )
+            for i, t in zip(sel, refined):
+                twcs[i] = t
+            print(f"pose refine: object {idx}: {stats['refined']}/{len(sel)} "
+                  f"views improved, loss {stats.get('mean_loss_before', 0):.4f}"
+                  f" -> {stats.get('mean_loss_after', 0):.4f}", flush=True)
         test_views = [
             dict(stamp=s, twc=np.asarray(t, np.float32),
                  box=tuple(int(v) for v in b))

@@ -29,6 +29,7 @@ from romap_tpu.data.formats import (
 )
 from romap_tpu.data.frame_store import FrameStore
 from romap_tpu.models import nerf
+from romap_tpu.parallel import sharding as shardlib
 from romap_tpu.runtime import artifacts
 from romap_tpu.utils.mesh_io import save_ply
 
@@ -40,6 +41,7 @@ class OfflineRunner:
         network_config: str | NerfConfig | None = None,
         use_depth: bool = False,
         mesh: bool = True,
+        device_mesh: "jax.sharding.Mesh | None" = None,
     ):
         if isinstance(network_config, NerfConfig):
             self.cfg = network_config
@@ -50,6 +52,11 @@ class OfflineRunner:
         self.spec = nerf.make_field_spec(self.cfg)
         self.use_depth = use_depth
         self.mesh_enabled = mesh
+        # Multi-chip by default: object-axis dp over the local device mesh,
+        # capacity padded to a mesh multiple; frames replicated (the
+        # TPU-native form of the reference's one-replica-per-GPU offline
+        # path, ref nerf_manager.cu:9-130). device_mesh pins the devices.
+        self.device_mesh = device_mesh or shardlib.make_mesh()
 
         self.meta: DatasetMeta = load_dataset_meta(dataset_path, use_depth)
         n = len(self.meta.stamps)
@@ -83,7 +90,8 @@ class OfflineRunner:
         return len(files)
 
     def _build_object_table(self) -> None:
-        cap = max(len(self.objects), 1)
+        cap = shardlib.pad_capacity(max(len(self.objects), 1),
+                                    self.device_mesh)
         stamp_to_idx = self.meta.stamp_to_idx
         max_b = max((len(o["data"].stamps) for o in self.objects), default=1)
         objs = dict(
@@ -110,11 +118,15 @@ class OfflineRunner:
                 nb += 1
             objs["n_bbox"][oi] = nb
             objs["active"][oi] = nb > 0
-        self.objs_state = nerf.ObjectsState(
-            **{k: jnp.asarray(v) for k, v in objs.items()}
+        self.objs_state = shardlib.shard_objects(
+            nerf.ObjectsState(**{k: jnp.asarray(v) for k, v in objs.items()}),
+            self.device_mesh,
         )
-        self.state = nerf.init_train_state(
-            jax.random.PRNGKey(self.cfg.seed), cap, self.cfg, self.spec
+        self.state = shardlib.shard_objects(
+            nerf.init_train_state(
+                jax.random.PRNGKey(self.cfg.seed), cap, self.cfg, self.spec
+            ),
+            self.device_mesh,
         )
 
     # -- training (ref NeRF::TrainOffline nerf.cu:120-152) --------------------
@@ -122,7 +134,9 @@ class OfflineRunner:
               mesh_every: int = 2, out_dir: str = "./output") -> None:
         if self.state is None:
             self._build_object_table()
-        frames = self.store.arrays()
+        frames = self.store.arrays(
+            sharding=shardlib.replicated(self.device_mesh)
+        )
         os.makedirs(out_dir, exist_ok=True)
         self.meshes: dict[int, object] = {}
         for wave in range(1, waves + 1):

@@ -21,7 +21,11 @@ Opcodes (keep in sync with native/include/monerf/ipc.h):
   6 GET_FRAME_IDX u16 slen, stamp -> i32 idx
   7 WAIT_END      -> ack
   8 RENDER_TEST   i32 idx, f32 radius, u8 video, u16 plen, path, i32 n,
-                  n x (u16 slen, stamp, i32 box[4], f32 twc[16]) -> ack
+                  n x (u16 slen, stamp, i32 box[4], f32 twc[16],
+                       u8 has_pixels, (u8 rgb[h*w*3], u8 mask[h*w])) -> ack
+                  (pixels = bbox crops of the ORIGINAL image + object mask;
+                   when present the runtime photometrically refines that
+                   view's pose against the trained field before rendering)
   9 GET_MESH      i32 idx -> i32 nv, i32 nf, f32 v[nv*3], f32 n[nv*3],
                   u8 c[nv*3], i32 f[nf*3]
  10 UPDATE_POSES  i32 cur_id, i32 n, f32 poses[n*16] -> ack
@@ -147,13 +151,21 @@ class RuntimeServer:
             video = bool(r.take("B"))
             path = r.take_str()
             n = r.take("i")
-            stamps, boxes, twcs = [], [], []
+            stamps, boxes, twcs, pixels = [], [], [], []
             for _ in range(n):
                 stamps.append(r.take_str())
-                boxes.append(tuple(r.take_array(np.int32, 4)))
+                box = tuple(int(v) for v in r.take_array(np.int32, 4))
+                boxes.append(box)
                 twcs.append(r.take_array(np.float32, 16).reshape(4, 4))
+                if bool(r.take("B")):
+                    bh, bw = box[2], box[3]
+                    rgb = r.take_array(np.uint8, bh * bw * 3).reshape(bh, bw, 3)
+                    msk = r.take_array(np.uint8, bh * bw).reshape(bh, bw)
+                    pixels.append((rgb, msk))
+                else:
+                    pixels.append(None)
             self.mgr.render_nerfs_test(path, idx, stamps, boxes, twcs, radius,
-                                       video=video)
+                                       video=video, pixels=pixels)
             return b""
         if op == OPS["GET_MESH"]:
             idx = r.take("i")
