@@ -34,6 +34,10 @@ class BowVocabulary {
   // Nearest word (medoid) by Hamming distance for one 32-byte ORB row.
   int Word(const uint8_t* desc) const;
 
+  // Per-row word ids (the reference's DBoW2 FeatureVector role: groups
+  // descriptors by word so matching is O(shared words), not O(N*M)).
+  std::vector<int> WordsOf(const cv::Mat& descriptors) const;
+
   // L1-normalized word histogram (term frequencies) of a descriptor matrix.
   std::map<int, float> Vector(const cv::Mat& descriptors) const;
 
@@ -55,6 +59,12 @@ class KeyFrameDatabase {
 
   // Top-k non-bad keyframes by tf-idf similarity to the query descriptors.
   std::vector<KeyFrame*> Query(const cv::Mat& descriptors, int top_k) const;
+
+  // Same, with scores — lets the caller gate candidates by relative score
+  // (the reference keeps candidates scoring >= 0.75x the best,
+  // ref KeyFrameDatabase::DetectRelocalizationCandidates :250-310).
+  std::vector<std::pair<float, KeyFrame*>> QueryScored(
+      const cv::Mat& descriptors, int top_k) const;
 
   size_t size() const { return n_kf_; }
 

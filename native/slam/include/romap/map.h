@@ -29,6 +29,9 @@ class KeyFrame {
   cv::Mat descriptors;                // N x 32
   std::vector<MapPoint*> points;      // per keypoint, nullptr if none
   std::vector<int> bbox_assignment;   // per keypoint: detection idx or -1
+  std::vector<int> bow_words;         // per keypoint BoW word (set by
+                                      // KeyFrameDatabase::Add; empty before
+                                      // the vocabulary trains)
   bool bad = false;
 
   SE3 Twc() const { return tcw.inverse(); }

@@ -48,4 +48,12 @@ int FuseByProjection(KeyFrame* kf, const std::vector<MapPoint*>& candidates,
 // cur.points; returns match count.
 int SearchByBruteForce(Frame& cur, const KeyFrame& kf, int max_dist = 60);
 
+// BoW-accelerated relocalization matching (the reference's
+// ORBmatcher::SearchByBoW, ref src/ORBmatcher.cc:50-147): descriptors are
+// compared only within shared vocabulary words, O(shared words x bucket)
+// instead of O(N x M). `cur_words`/kf.bow_words are per-descriptor word ids
+// from BowVocabulary::WordsOf. Assigns kf's map points into cur.points.
+int SearchByBow(Frame& cur, const std::vector<int>& cur_words,
+                const KeyFrame& kf, int max_dist = 60);
+
 }  // namespace romap

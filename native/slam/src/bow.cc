@@ -95,19 +95,33 @@ int BowVocabulary::Word(const uint8_t* desc) const {
   return best;
 }
 
+std::vector<int> BowVocabulary::WordsOf(const cv::Mat& descriptors) const {
+  std::vector<int> words;
+  if (!trained_ || descriptors.empty()) return words;
+  words.resize(descriptors.rows);
+  for (int r = 0; r < descriptors.rows; ++r)
+    words[r] = Word(descriptors.ptr<uint8_t>(r));
+  return words;
+}
+
 std::map<int, float> BowVocabulary::Vector(const cv::Mat& descriptors) const {
   std::map<int, float> v;
   if (!trained_ || descriptors.empty()) return v;
-  for (int r = 0; r < descriptors.rows; ++r)
-    v[Word(descriptors.ptr<uint8_t>(r))] += 1.0f;
+  for (int w : WordsOf(descriptors)) v[w] += 1.0f;
   for (auto& kv : v) kv.second /= descriptors.rows;
   return v;
 }
 
 void KeyFrameDatabase::Add(KeyFrame* kf) {
   if (!voc_->trained() || !kf) return;
-  for (const auto& kv : voc_->Vector(kf->descriptors))
+  // cache per-descriptor words on the keyframe for O(shared-words) matching
+  kf->bow_words = voc_->WordsOf(kf->descriptors);
+  std::map<int, float> v;
+  for (int w : kf->bow_words) v[w] += 1.0f;
+  for (auto& kv : v) {
+    kv.second /= kf->bow_words.size();
     inv_[kv.first].push_back({kf, kv.second});
+  }
   ++n_kf_;
 }
 
@@ -119,7 +133,15 @@ void KeyFrameDatabase::Clear() {
 std::vector<KeyFrame*> KeyFrameDatabase::Query(const cv::Mat& descriptors,
                                                int top_k) const {
   std::vector<KeyFrame*> out;
-  if (!voc_->trained() || n_kf_ == 0) return out;
+  for (const auto& [s, kf] : QueryScored(descriptors, top_k))
+    out.push_back(kf);
+  return out;
+}
+
+std::vector<std::pair<float, KeyFrame*>> KeyFrameDatabase::QueryScored(
+    const cv::Mat& descriptors, int top_k) const {
+  std::vector<std::pair<float, KeyFrame*>> ranked;
+  if (!voc_->trained() || n_kf_ == 0) return ranked;
   std::map<KeyFrame*, float> score;
   for (const auto& kv : voc_->Vector(descriptors)) {
     const auto& bucket = inv_[kv.first];
@@ -130,14 +152,12 @@ std::vector<KeyFrame*> KeyFrameDatabase::Query(const cv::Mat& descriptors,
     for (const auto& e : bucket)
       if (!e.first->bad) score[e.first] += qi * e.second * idf;
   }
-  std::vector<std::pair<float, KeyFrame*>> ranked;
   ranked.reserve(score.size());
   for (const auto& kv : score) ranked.push_back({kv.second, kv.first});
   std::sort(ranked.begin(), ranked.end(),
             [](const auto& a, const auto& b) { return a.first > b.first; });
-  for (int i = 0; i < std::min<int>(top_k, ranked.size()); ++i)
-    out.push_back(ranked[i].second);
-  return out;
+  if (static_cast<int>(ranked.size()) > top_k) ranked.resize(top_k);
+  return ranked;
 }
 
 }  // namespace romap

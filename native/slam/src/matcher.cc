@@ -261,4 +261,40 @@ int SearchByBruteForce(Frame& cur, const KeyFrame& kf, int max_dist) {
   return n;
 }
 
+int SearchByBow(Frame& cur, const std::vector<int>& cur_words,
+                const KeyFrame& kf, int max_dist) {
+  if (cur_words.size() != cur.keypoints.size() ||
+      kf.bow_words.size() != kf.points.size())
+    return 0;
+  // bucket the current frame's keypoints by word
+  std::map<int, std::vector<int>> cur_by_word;
+  for (size_t j = 0; j < cur_words.size(); ++j)
+    cur_by_word[cur_words[j]].push_back(static_cast<int>(j));
+  int n = 0;
+  std::vector<int> owner(cur.keypoints.size(), max_dist + 1);
+  for (size_t i = 0; i < kf.points.size(); ++i) {
+    MapPoint* p = kf.points[i];
+    if (!p || p->bad) continue;
+    auto it = cur_by_word.find(kf.bow_words[i]);
+    if (it == cur_by_word.end()) continue;
+    int best = max_dist, best2 = 256, best_idx = -1;
+    for (int j : it->second) {
+      int d = DescriptorDistance(p->descriptor, cur.descriptors.row(j));
+      if (d < best) {
+        best2 = best;
+        best = d;
+        best_idx = j;
+      } else if (d < best2) {
+        best2 = d;
+      }
+    }
+    if (best_idx < 0 || best > static_cast<int>(0.75f * best2)) continue;
+    if (best >= owner[best_idx]) continue;
+    owner[best_idx] = best;
+    cur.points[best_idx] = p;
+    ++n;
+  }
+  return n;
+}
+
 }  // namespace romap

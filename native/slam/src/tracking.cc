@@ -177,25 +177,48 @@ bool Tracker::TrackReferenceKeyFrame() {
 
 bool Tracker::Relocalize() {
   // ref Tracking::Relocalization (src/Tracking.cc:566-623 + PnPsolver.cc):
-  // candidates come from the BoW inverted index once the online vocabulary
-  // has trained (the reference's DBoW2 KeyFrameDatabase vote); before that
-  // — or as a supplement — the most recent keyframes are brute-forced.
-  std::vector<KeyFrame*> kfs;  // priority order: BoW votes, then recency
-  if (voc_.trained()) kfs = kfdb_.Query(cur_.descriptors, 8);
-  auto recent = map_.KeyFrames();
-  for (auto it = recent.rbegin(); it != recent.rend() && kfs.size() < 13; ++it)
-    if (std::find(kfs.begin(), kfs.end(), *it) == kfs.end()) kfs.push_back(*it);
-  int tried = 0;
-  for (auto it = kfs.begin(); it != kfs.end() && tried < 13; ++it, ++tried) {
+  // once the online vocabulary has trained, candidates come from the BoW
+  // inverted index, gated by relative score (>= 0.75x the best vote, the
+  // reference's KeyFrameDatabase minScore rule :250-310) and matched via
+  // word buckets (SearchByBow, O(shared words)) — per-lost-frame cost is
+  // bounded by kMaxCandidates regardless of map size. Before the
+  // vocabulary trains, the most recent keyframes are brute-forced.
+  constexpr int kMaxCandidates = 5;
+  std::vector<KeyFrame*> kfs;
+  std::vector<int> cur_words;
+  if (voc_.trained()) {
+    auto scored = kfdb_.QueryScored(cur_.descriptors, kMaxCandidates);
+    if (!scored.empty()) {
+      float min_score = 0.75f * scored.front().first;
+      for (const auto& [s, kf] : scored)
+        if (s >= min_score) kfs.push_back(kf);
+    }
+    cur_words = voc_.WordsOf(cur_.descriptors);
+  }
+  bool bow = !kfs.empty();
+  if (!bow) {  // cold vocabulary: fall back to the recent keyframes
+    auto recent = map_.KeyFrames();
+    for (auto it = recent.rbegin();
+         it != recent.rend() && kfs.size() < kMaxCandidates; ++it)
+      kfs.push_back(*it);
+  }
+  for (KeyFrame* kf : kfs) {
     std::fill(cur_.points.begin(), cur_.points.end(), nullptr);
-    int n = SearchByBruteForce(cur_, **it);
+    int n = bow ? SearchByBow(cur_, cur_words, *kf)
+                : SearchByBruteForce(cur_, *kf);
+    if (bow && n < 15) {
+      // word quantization can starve matches on a true candidate — the
+      // reference widens with SearchByProjection; one brute pass on the
+      // top-voted keyframe serves the same rescue role
+      n = SearchByBruteForce(cur_, *kf);
+    }
     if (n < 15) continue;
-    cur_.tcw = (*it)->tcw;  // initial guess; PnP-RANSAC re-derives it
+    cur_.tcw = kf->tcw;  // initial guess; PnP-RANSAC re-derives it
     cur_.pose_valid = true;
     if (OptimizePose(&cur_) >= 10) {
       if (std::getenv("ROMAP_SLAM_DEBUG"))
-        std::printf("[reloc frame %ld] recovered from kf %ld (%d matches)\n",
-                    cur_.id, (*it)->id, n);
+        std::printf("[reloc frame %ld] recovered from kf %ld (%d matches%s)\n",
+                    cur_.id, kf->id, n, bow ? ", bow" : "");
       return true;
     }
   }
