@@ -150,7 +150,11 @@ int main(int argc, char** argv) {
   tracker.hooks.on_keyframe = [](const KeyFrame&, const cv::Mat&, const cv::Mat&,
                                  const cv::Mat&) {};
 
-  const int n_frames = 90;  // long enough that the viewing-angle trigger is not marginal
+  // 90 frames by default; ROMAP_TEST_FRAMES overrides for drift studies
+  // (e.g. the loop-closing-omission measurement in ARCHITECTURE.md)
+  int n_frames = 90;
+  if (const char* nf = std::getenv("ROMAP_TEST_FRAMES"))
+    n_frames = std::atoi(nf);
   std::vector<SE3> gt, est;
   std::vector<int> est_idx;
   int tracked = 0, tracked_after_blackout = 0;

@@ -34,6 +34,7 @@ reference's training threads.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 
@@ -389,6 +390,24 @@ class NerfManagerOnline:
         if mask.any() and self.mesh_enabled:
             for oi in np.nonzero(mask)[0]:
                 self._extract_mesh(int(oi))
+        # session snapshot for offline debugging/resume (beyond the
+        # reference, whose params die with the process — SURVEY §5)
+        ckpt = os.environ.get("ROMAP_SAVE_STATE")
+        if ckpt:
+            from romap_tpu.utils.checkpoint import save_checkpoint
+
+            with self._cond:
+                self._wait_idle_locked()
+                save_checkpoint(
+                    ckpt, self.state,
+                    extra={"objs": {k: np.asarray(v).tolist()
+                                    for k, v in self._objs.items()
+                                    if k in ("aabb_min", "aabb_max",
+                                             "instance_id", "n_bbox")},
+                           "tow": np.asarray(self._objs["tow"]).tolist(),
+                           "n_objects": self._n_objects},
+                )
+            print(f"state checkpoint saved to {ckpt}", flush=True)
         print("All NeRF slots completed ...")
 
     # ------------------------------------------------------------ inference
@@ -416,6 +435,19 @@ class NerfManagerOnline:
             self._wait_idle_locked()
             params = jax.tree.map(lambda a: a[idx], self.state.ema)
         twcs = [np.asarray(t, np.float32) for t in twcs]
+        dbg = os.environ.get("ROMAP_SAVE_STATE")
+        if dbg and pixels is not None:
+            import pickle
+
+            with open(f"{dbg}.refine_obj{idx}.pkl", "wb") as f:
+                pickle.dump({
+                    "stamps": stamps, "boxes": boxes, "twcs": twcs,
+                    "pixels": pixels, "tow": self._objs["tow"][idx],
+                    "aabb_min": self._objs["aabb_min"][idx],
+                    "aabb_max": self._objs["aabb_max"][idx],
+                    "intrinsics": np.asarray(self.store._intrinsics),
+                    "radius": radius,
+                }, f)
         if pixels is not None and any(p is not None for p in pixels):
             from romap_tpu.runtime import pose_refine
 
