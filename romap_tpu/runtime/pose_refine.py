@@ -36,7 +36,7 @@ from romap_tpu.ops.geometry import (
 from romap_tpu.ops.render import volume_render
 
 N_PIXELS = 1536  # sampled pixels per view (2/3 object, 1/3 background)
-N_STEPS = 150
+N_STEPS = 300  # real-session traces still descend at 150 (scripts/debug_refine.py)
 N_SAMPLES = 32  # samples per ray (pose only needs coarse geometry)
 LR = 3e-3
 MASK_LAMBDA = 0.5
@@ -133,7 +133,13 @@ def refine_poses(
             xy[..., 0], xy[..., 1], intrinsics, twc[:, None, :, :], tow
         )
         tmin, tmax, hit = ray_aabb_intersect(o, d, aabb_min, aabb_max)
-        tmin = jnp.maximum(tmin, 0.0)
+        # Sanitize MISS rays before sampling: their tmin/tmax can be +-inf
+        # (zero direction components), and inf sample points turn into NaN
+        # that survives the where(hit, ...) BACKWARD pass (0 * NaN = NaN)
+        # and poisons the whole pose gradient. Give them a tiny finite
+        # segment instead; their output is replaced by the background.
+        tmin = jnp.where(hit, jnp.maximum(tmin, 0.0), 0.0)
+        tmax = jnp.where(hit, tmax, 1e-3)
         t = stratified_distances(tmin, tmax, jnp.full_like(tmin[..., None], 0.5), n_samples)
         pts = warp_point(
             o[..., None, :] + t[..., None] * d[..., None, :], aabb_min, aabb_max
