@@ -352,6 +352,33 @@ int main(int argc, char** argv) {
   // (env ROMAP_LIVE_DUMP=N; the reference's Pangolin window equivalent).
   int live_dump = 0;
   if (const char* ld = std::getenv("ROMAP_LIVE_DUMP")) live_dump = std::atoi(ld);
+  // Current-frame overlay (ref src/FrameDrawer.cc: keypoints + detection
+  // boxes drawn on the live frame — the reference's main debugging view).
+  // Written as frame.jpg for the web viewer's frame panel.
+  auto dump_frame = [&](const cv::Mat& bgr) {
+    if (bgr.empty()) return;
+    cv::Mat vis = bgr.clone();
+    const Frame& f = tracker.current();
+    for (size_t k = 0; k < f.keypoints.size(); ++k) {
+      bool tracked_pt = k < f.points.size() && f.points[k] &&
+                        !(k < f.outlier.size() && f.outlier[k]);
+      cv::circle(vis, f.keypoints[k].pt, 2,
+                 tracked_pt ? cv::Scalar(0, 220, 0) : cv::Scalar(160, 160, 160),
+                 -1);
+    }
+    for (const auto& det : f.detections) {
+      cv::rectangle(vis, det.bbox.rect, cv::Scalar(0, 140, 255), 2);
+      char label[64];
+      std::snprintf(label, sizeof(label), "cls %d %.2f", det.bbox.cls,
+                    det.bbox.confidence);
+      cv::putText(vis, label,
+                  {static_cast<int>(det.bbox.rect.x),
+                   static_cast<int>(det.bbox.rect.y) - 4},
+                  cv::FONT_HERSHEY_SIMPLEX, 0.45, cv::Scalar(0, 140, 255), 1);
+    }
+    cv::imwrite(out_dir + "/frame.jpg", vis);
+  };
+
   auto dump_state = [&]() {
     // Snapshot() copies under the map mutex — safe against the live mapping
     // thread (BA rewrites poses/positions concurrently).
@@ -396,7 +423,10 @@ int main(int argc, char** argv) {
                     .count();
     track_ms.push_back(ms);
     max_behind = std::max(max_behind, tracker.QueueDepth());
-    if (live_dump > 0 && i % live_dump == 0) dump_state();
+    if (live_dump > 0 && i % live_dump == 0) {
+      dump_state();
+      dump_frame(bgr);
+    }
     if (pace && i + 1 < ds.stamps.size()) {
       double dt = std::atof(ds.stamps[i + 1].c_str()) - t;
       if (dt > ms / 1000.0)

@@ -44,6 +44,17 @@ _PAGE = """<!doctype html>
  <div id="stats"></div>
  <div style="opacity:.6">drag orbit &middot; wheel zoom &middot; shift-drag pan</div>
 </div>
+<img id="frame" style="position:fixed;right:10px;top:8px;max-width:320px;
+ border:1px solid #333;border-radius:4px;display:none" alt="">
+<script>
+// current-frame overlay (keypoints + detections), the FrameDrawer panel:
+// refresh frame.jpg while the producer keeps rewriting it
+const fimg=document.getElementById('frame');
+setInterval(()=>{const probe=new Image();
+ probe.onload=()=>{fimg.src=probe.src;fimg.style.display='block';};
+ probe.onerror=()=>{fimg.style.display='none';};
+ probe.src='/frame.jpg?'+Date.now();},1000);
+</script>
 <script>
 const cv=document.getElementById('c');const gl=cv.getContext('webgl');
 const VS=`attribute vec3 p;attribute vec3 col;uniform mat4 mvp;uniform float ps;
@@ -210,6 +221,17 @@ class _Handler(BaseHTTPRequestHandler):
                 _Handler._cache = (now, body)
             body = _Handler._cache[1]
             ctype = "application/json"
+        elif self.path.startswith("/frame.jpg"):
+            # live current-frame overlay written by mono_tum's dump_frame
+            path = os.path.join(_Handler.out_dir, "frame.jpg")
+            try:
+                with open(path, "rb") as f:
+                    body = f.read()
+            except OSError:
+                self.send_response(404)
+                self.end_headers()
+                return
+            ctype = "image/jpeg"
         else:
             self.send_response(404)
             self.end_headers()

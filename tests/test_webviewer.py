@@ -56,3 +56,28 @@ def test_http_endpoints(tmp_path):
         assert len(state["traj"]) == 10
     finally:
         srv.shutdown()
+
+
+def test_frame_overlay_route(tmp_path):
+    """The FrameDrawer-equivalent panel: /frame.jpg serves the live overlay
+    written by mono_tum's dump_frame, 404s when absent."""
+    import urllib.error
+    import urllib.request
+
+    from romap_tpu.utils.webviewer import serve
+
+    srv = serve(str(tmp_path), port=8871, background=True)
+    try:
+        try:
+            urllib.request.urlopen("http://127.0.0.1:8871/frame.jpg")
+            assert False, "expected 404 before the frame exists"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        (tmp_path / "frame.jpg").write_bytes(b"\xff\xd8fakejpeg")
+        data = urllib.request.urlopen(
+            "http://127.0.0.1:8871/frame.jpg").read()
+        assert data.startswith(b"\xff\xd8")
+        page = urllib.request.urlopen("http://127.0.0.1:8871/").read().decode()
+        assert "frame.jpg" in page
+    finally:
+        srv.shutdown()
