@@ -57,19 +57,28 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     value = N_OBJECTS * iters * reps / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"aggregate NeRF train obj-iters/sec ({N_OBJECTS} objects, 4096 rays x 32 samples)",
-                "value": round(value, 2),
-                "unit": "obj-iters/s",
-                "vs_baseline": round(value / BASELINE_OBJ_ITERS_PER_SEC, 4),
-                "baseline_note": "500 obj-iters/s is an ESTIMATE of the "
-                "reference RTX-4090 online aggregate (repo publishes no "
-                "timings; tcnn ~2 ms/step at 131072 inputs, 10 streams)",
-            }
-        )
-    )
+    out = {
+        "metric": f"aggregate NeRF train obj-iters/sec ({N_OBJECTS} objects, 4096 rays x 32 samples)",
+        "value": round(value, 2),
+        "unit": "obj-iters/s",
+        "vs_baseline": round(value / BASELINE_OBJ_ITERS_PER_SEC, 4),
+        "baseline_note": "500 obj-iters/s is an ESTIMATE of the "
+        "reference RTX-4090 online aggregate (repo publishes no "
+        "timings; tcnn ~2 ms/step at 131072 inputs, 10 streams)",
+    }
+    # surface the recorded flagship-vs-hashgrid parity gate (run
+    # scripts/quality_gate.py on TPU to refresh) so a quality regression
+    # can't hide behind a throughput number
+    try:
+        q = json.load(open(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "QUALITY.json")))
+        pg = q.get("parity_gate", {})
+        if pg:
+            out["parity_gate_pass"] = pg.get("pass")
+            out["parity_gate_gap_db"] = pg.get("gap_db")
+    except Exception:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

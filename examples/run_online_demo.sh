@@ -23,6 +23,11 @@ from romap_tpu.data.world import write_room_dataset
 write_room_dataset('$DATASET', n_objects=$NOBJ)
 print('dataset at $DATASET')"
 
+# ROMAP_DEMO_SPARSE_DEPTH=1: enable the NeRF.UseSparseDepth yaml knob
+# (SLAM ships its BA-refined sparse depth as a supervision channel)
+[ -n "$ROMAP_DEMO_SPARSE_DEPTH" ] && \
+  echo "NeRF.UseSparseDepth: 1" >> "$DATASET/config.yaml"
+
 echo "== starting NeRF runtime server ($PLATFORM) =="
 rm -f "$SOCK"
 PLATFORM_FLAG=""

@@ -283,19 +283,25 @@ int main(int argc, char** argv) {
                              depth_ptr, ToMat4(twc));
     };
     tracker.hooks.create_nerf = [&](ObjectMap* obj) {
-      // Reference-parity bounding box: the manager applies the reference's
-      // 1.1x (1.2x for classes 41/73) inflation on top (ref Core/src/
-      // nerf.cu:162-172) — no extra margin here. Round 1 used 2.0x while
-      // cuboids were 70% oversized/biased; with silhouette-bounded extents
-      // (center err 0.049, transverse extents within 5%) the margin only
-      // diluted field capacity ~10x by volume. ROMAP_NERF_MARGIN overrides
-      // for A/B runs.
-      float m = 1.0f;
+      // Per-axis margin from extent provenance: silhouette-confirmed axes
+      // are accurate (within ~5%) and get the reference-parity box (the
+      // manager applies the reference's 1.1/1.2x inflation on top, ref
+      // Core/src/nerf.cu:162-172 — no extra margin); point-cloud-fallback
+      // axes are observability-limited (typically biased SHORT — only the
+      // visible surface carries points) and get a 1.8x cushion so the
+      // object stays inside the field volume. Round 1 used a uniform 2.0x
+      // that diluted field capacity ~10x by volume; ROMAP_NERF_MARGIN
+      // forces a uniform margin for A/B runs.
+      float m[3];
+      for (int a = 0; a < 3; ++a)
+        m[a] = obj->shape.ext_tight[a] ? 1.0f : 1.8f;
       if (const char* env_m = std::getenv("ROMAP_NERF_MARGIN"))
-        m = std::atof(env_m);
+        m[0] = m[1] = m[2] = std::atof(env_m);
       monerf::BoundingBox bb{
-          {-m * obj->shape.a1, -m * obj->shape.a2, -m * obj->shape.a3},
-          {m * obj->shape.a1, m * obj->shape.a2, m * obj->shape.a3}};
+          {-m[0] * obj->shape.a1, -m[1] * obj->shape.a2,
+           -m[2] * obj->shape.a3},
+          {m[0] * obj->shape.a1, m[1] * obj->shape.a2,
+           m[2] * obj->shape.a3}};
       int idx = static_cast<int>(
           mgr->CreateNeRF(obj->cls, ToMat4(obj->shape.t_obj_w), bb));
       nerf_idx[obj] = idx;

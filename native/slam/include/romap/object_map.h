@@ -83,18 +83,17 @@ class ObjectMap {
   // midpoint, ref src/ObjectMap.cc:286-315).
   bool SilhouetteCenter(Vec3* out) const;
 
-  // Per-axis silhouette upper bounds on the half extents: in each history
-  // observation the detection box's support along the projected axis
-  // direction bounds extent x (pixels per unit length); the 20th
-  // percentile over views is a robust minimum of those upper bounds —
-  // tight for any axis some view sees transverse to the ray, loose for an
-  // axis foreshortened in every view (the caller compares against the
-  // cloud extent to tell the two apart). `r` rotates world -> object axes,
-  // `center_w` is the cuboid center in world. Returns false without >= 5
-  // usable (unclipped) views per axis. Beyond the reference (point-cloud
-  // extents only, ref src/ObjectMap.cc:613-672).
+  // Per-axis silhouette extent estimates: in each history observation with
+  // the axis near-transverse to the ray (foreshortening phi = g*z/f >=
+  // 0.8), the support of the ellipse inscribed in the detection rect along
+  // the projected axis direction bounds extent x (pixels per unit length);
+  // the 20th percentile over such views is a robust minimum. tight[a] is
+  // set when >= 5 qualifying (unclipped, transverse) views exist — out[a]
+  // is only meaningful then; axes foreshortened in every view stay
+  // point-cloud-only. Beyond the reference (cloud extents only,
+  // ref src/ObjectMap.cc:613-672).
   bool SilhouetteExtentBounds(const Mat3& r, const Vec3& center_w,
-                              float out[3]) const;
+                              float out[3], bool tight[3]) const;
 
   void SetBad(const std::string& reason);
   bool IsBad() const { return bad_; }

@@ -117,6 +117,10 @@ struct Cuboid {
   SE3 t_obj_w;  // world -> object
   float a1 = 0, a2 = 0, a3 = 0;  // half extents
   float max_dist = 0;            // diagonal half length
+  // per-axis extent provenance: true = silhouette-confirmed by
+  // near-transverse views (trustworthy); false = point-cloud fallback
+  // (observability-limited, typically biased short — consumers should pad)
+  bool ext_tight[3] = {false, false, false};
 
   // world-frame corner k (k in [0,8))
   Vec3 Corner(int k) const {

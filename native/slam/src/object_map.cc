@@ -436,22 +436,20 @@ void ObjectMap::EstimateShape() {
   // occluders). Goes beyond the reference (cloud extents only,
   // ref src/ObjectMap.cc:613-672).
   float sil[3];
-  if (SilhouetteExtentBounds(r, t_obj_w.inverse().t, sil)) {
-    for (int a = 0; a < 3; ++a) {
-      if (sil[a] < 1.35f * ext[a]) {
-        // tight bound: some view saw the axis transverse to the ray — the
-        // silhouette carries the full extent (incl. surface regions ORB
-        // never triangulates) where the cloud is biased short, and caps a
-        // stray-inflated cloud from above
-        ext[a] = sil[a];
-      } else {
-        // loose bound (axis foreshortened in every view, e.g. the depth
-        // axis of a narrow-arc sequence): only useful as a stray cap
-        ext[a] = std::min(ext[a], sil[a]);
-      }
-      if (std::getenv("ROMAP_EXT_DEBUG"))
-        std::printf("[ext] axis %d sil=%.3f -> ext=%.3f\n", a, sil[a], ext[a]);
+  bool tight[3];
+  SilhouetteExtentBounds(r, t_obj_w.inverse().t, sil, tight);
+  for (int a = 0; a < 3; ++a) {
+    if (tight[a]) {
+      // enough near-transverse views: the silhouette bound carries the
+      // full extent (incl. surface regions ORB never triangulates) where
+      // the cloud is biased short. The cloud is a physical LOWER bound
+      // (triangulated points exist at those coordinates), so take the max.
+      ext[a] = std::max(ext[a], sil[a]);
     }
+    shape.ext_tight[a] = tight[a];
+    if (std::getenv("ROMAP_EXT_DEBUG"))
+      std::printf("[ext] axis %d sil=%.3f tight=%d -> ext=%.3f\n", a,
+                  tight[a] ? sil[a] : -1.0f, tight[a] ? 1 : 0, ext[a]);
   }
   Vec3 t_shape(-qc[0], -qc[1], -qc[2]);
   shape.t_obj_w = SE3{r, t_shape};
@@ -579,7 +577,8 @@ void ObjectMap::InsertHistoryBboxAndTwc(const FrameContext& frame,
 }
 
 bool ObjectMap::SilhouetteExtentBounds(const Mat3& r, const Vec3& center_w,
-                                       float out[3]) const {
+                                       float out[3], bool tight[3]) const {
+  tight[0] = tight[1] = tight[2] = false;
   if (!have_hist_cam || history_bbox.size() < 8) return false;
   std::vector<float> bounds[3];
   for (const auto& kv : history_bbox) {
@@ -612,21 +611,37 @@ bool ObjectMap::SilhouetteExtentBounds(const Mat3& r, const Vec3& center_w,
       float gu = hist_cam.fx * (dc[0] * z - cc[0] * dc[2]) / (z * z);
       float gv = hist_cam.fy * (dc[1] * z - cc[1] * dc[2]) / (z * z);
       float g = std::sqrt(gu * gu + gv * gv);  // pixels per world unit
-      if (g < 1e-6f) continue;  // axis along the view ray: unconstrained
-      // rect support along the projected axis direction, in pixels
-      float supp = 0.5f * (std::abs(gu) * bb.rect.width +
-                           std::abs(gv) * bb.rect.height) / g;
+      if (g < 1e-6f) continue;
+      // foreshortening: px-per-unit relative to a fully transverse unit
+      // vector at this depth. Only near-transverse views (phi >= 0.8)
+      // yield a TIGHT bound — a foreshortened axis's support is dominated
+      // by the other extents and says nothing about this one.
+      float f_mean = 0.5f * (hist_cam.fx + hist_cam.fy);
+      float phi = g * z / f_mean;
+      if (phi < 0.8f) continue;
+      // support of the ellipse inscribed in the detection rect along the
+      // projected axis direction: exact for blob/sphere silhouettes, and
+      // unlike the rect support it does NOT inflate by up to sqrt(2) when
+      // the axis projects diagonally in the image (round 3 bug: the room
+      // sequence's diagonal axes made every bound ~1.4x loose, so the
+      // silhouette never engaged)
+      float ux = gu / g, uy = gv / g;
+      float sx = ux * 0.5f * bb.rect.width, sy = uy * 0.5f * bb.rect.height;
+      float supp = std::sqrt(sx * sx + sy * sy);  // pixels
       bounds[a].push_back(supp / g);
     }
   }
+  bool any = false;
   for (int a = 0; a < 3; ++a) {
-    if (bounds[a].size() < 5) return false;
-    size_t k = bounds[a].size() / 5;  // 20th percentile
+    tight[a] = bounds[a].size() >= 5;
+    if (!tight[a]) continue;
+    size_t k = bounds[a].size() / 5;  // 20th percentile: robust minimum
     std::nth_element(bounds[a].begin(), bounds[a].begin() + k,
                      bounds[a].end());
     out[a] = bounds[a][k];
+    any = true;
   }
-  return true;
+  return any;
 }
 
 bool ObjectMap::SilhouetteCenter(Vec3* out) const {
