@@ -164,8 +164,13 @@ def refine_poses(
     grad_fn = jax.value_and_grad(view_loss, has_aux=True)
 
     def body(i, carry):
-        delta, m, v = carry
-        (_, _), g = grad_fn(delta)
+        # best-so-far per view: Adam can overshoot near a shallow optimum,
+        # and final-step acceptance then discards the good intermediate pose
+        delta, m, v, best_delta, best_pv = carry
+        (_, pv), g = grad_fn(delta)
+        improved = pv < best_pv
+        best_delta = jnp.where(improved[:, None], delta, best_delta)
+        best_pv = jnp.minimum(pv, best_pv)
         it = jnp.asarray(i + 1, jnp.float32)
         # Adam (per-view independent; the summed loss has disjoint gradients)
         m = 0.9 * m + 0.1 * g
@@ -175,16 +180,20 @@ def refine_poses(
         # decay one decade over the run
         step_lr = lr * 0.1 ** (jnp.asarray(i, jnp.float32) / n_steps)
         delta = delta - step_lr * mh / (jnp.sqrt(vh) + 1e-8)
-        return delta, m, v
+        return delta, m, v, best_delta, best_pv
 
-    delta, _, _ = jax.lax.fori_loop(
+    delta, _, _, best_delta, best_pv = jax.lax.fori_loop(
         0, n_steps, body,
-        (delta0, jnp.zeros_like(delta0), jnp.zeros_like(delta0)),
+        (delta0, jnp.zeros_like(delta0), jnp.zeros_like(delta0),
+         delta0, loss0),
     )
-    _, loss_f = view_loss(delta)
-    # keep a refined pose only where it actually improved the loss
+    _, loss_last = view_loss(delta)
+    use_last = loss_last < best_pv
+    best_delta = jnp.where(use_last[:, None], delta, best_delta)
+    loss_f = jnp.minimum(loss_last, best_pv)
+    # keep a refined pose only where it actually improved on the initial
     better = (loss_f < loss0) & view_valid
-    twc = jnp.where(better[:, None, None], twc0 @ se3_exp(delta), twc0)
+    twc = jnp.where(better[:, None, None], twc0 @ se3_exp(best_delta), twc0)
     return twc, loss0, loss_f
 
 
