@@ -37,6 +37,7 @@ from romap_tpu.ops.render import volume_render
 
 N_PIXELS = 1536  # sampled pixels per view (2/3 object, 1/3 background)
 N_STEPS = 300  # real-session traces still descend at 150 (scripts/debug_refine.py)
+N_STARTS = 4  # multi-start basins per view (start 0 = identity)
 N_SAMPLES = 32  # samples per ray (pose only needs coarse geometry)
 LR = 3e-3
 MASK_LAMBDA = 0.5
@@ -100,7 +101,7 @@ def build_refine_batch(boxes, crops, n_px: int = N_PIXELS, seed: int = 0):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "spec", "n_steps", "n_samples"),
+    static_argnames=("cfg", "spec", "n_steps", "n_samples", "n_starts"),
 )
 def refine_poses(
     params_one,
@@ -119,18 +120,30 @@ def refine_poses(
     n_steps: int = N_STEPS,
     n_samples: int = N_SAMPLES,
     lr: float = LR,
+    n_starts: int = N_STARTS,
 ):
     """Batched pose-only Adam against the frozen field.
+
+    Multi-start: each view optimizes from n_starts initial deltas (the
+    zero delta plus small random SE(3) jitters) in one widened batch; the
+    per-view argmin over starts and steps wins. Escapes the shallow local
+    minima a single photometric descent can stall in.
 
     Returns (twc_refined [V,4,4], loss0 [V], loss_final [V]).
     """
     params_one = jax.lax.stop_gradient(params_one)
     bg = jnp.full((3,), 1.0, jnp.float32)  # render path's gray background
 
+    n_views = twc0.shape[0]
+    s = n_starts
+    ex = lambda a: jnp.repeat(a, s, axis=0)  # [V*S, ...], view-major
+    twc0_e, xy_e = ex(twc0), ex(xy)
+    rgb_e, w_e, mask_e, valid_e = ex(rgb_t), ex(w_rgb), ex(mask_t), ex(view_valid)
+
     def view_loss(delta):
-        twc = twc0 @ se3_exp(delta)  # [V, 4, 4]
+        twc = twc0_e @ se3_exp(delta)  # [V*S, 4, 4]
         o, d, dn = camera_rays(
-            xy[..., 0], xy[..., 1], intrinsics, twc[:, None, :, :], tow
+            xy_e[..., 0], xy_e[..., 1], intrinsics, twc[:, None, :, :], tow
         )
         tmin, tmax, hit = ray_aabb_intersect(o, d, aabb_min, aabb_max)
         # Sanitize MISS rays before sampling: their tmin/tmax can be +-inf
@@ -149,17 +162,27 @@ def refine_poses(
         opacity = jnp.where(hit, out.mask, 0.0)
         rgb_pred = jnp.where(hit[..., None], out.rgb, bg)
         # photometric term on GT-object pixels; silhouette term everywhere
-        rgb_err = jnp.sum((rgb_pred - rgb_t) ** 2, axis=-1)
+        rgb_err = jnp.sum((rgb_pred - rgb_e) ** 2, axis=-1)
         per_view = (
-            jnp.sum(w_rgb * rgb_err, axis=-1)
-            / jnp.maximum(jnp.sum(w_rgb, axis=-1), 1.0)
-            + MASK_LAMBDA * jnp.mean(jnp.abs(opacity - mask_t), axis=-1)
+            jnp.sum(w_e * rgb_err, axis=-1)
+            / jnp.maximum(jnp.sum(w_e, axis=-1), 1.0)
+            + MASK_LAMBDA * jnp.mean(jnp.abs(opacity - mask_e), axis=-1)
         )
-        per_view = jnp.where(view_valid, per_view, 0.0)
+        per_view = jnp.where(valid_e, per_view, 0.0)
         return jnp.sum(per_view), per_view
 
-    delta0 = jnp.zeros(twc0.shape[:-2] + (6,), jnp.float32)
-    _, loss0 = view_loss(delta0)
+    # start 0 = identity; the rest small random SE(3) jitters scaled to the
+    # object box (translation) / ~1.7 degrees (rotation)
+    box_scale = jnp.mean(aabb_max - aabb_min)
+    jit_key = jax.random.PRNGKey(17)
+    d0 = jax.random.normal(jit_key, (n_views, s, 6), jnp.float32)
+    d0 = d0 * jnp.concatenate(
+        [jnp.full((3,), 0.03), jnp.full((3,), 1.0) * 0.03 * box_scale]
+    )
+    d0 = d0.at[:, 0, :].set(0.0)
+    delta0 = d0.reshape(n_views * s, 6)
+    _, pv_init = view_loss(delta0)
+    loss0 = pv_init.reshape(n_views, s)[:, 0]  # identity-start loss
 
     grad_fn = jax.value_and_grad(view_loss, has_aux=True)
 
@@ -185,12 +208,19 @@ def refine_poses(
     delta, _, _, best_delta, best_pv = jax.lax.fori_loop(
         0, n_steps, body,
         (delta0, jnp.zeros_like(delta0), jnp.zeros_like(delta0),
-         delta0, loss0),
+         delta0, pv_init),
     )
     _, loss_last = view_loss(delta)
     use_last = loss_last < best_pv
     best_delta = jnp.where(use_last[:, None], delta, best_delta)
-    loss_f = jnp.minimum(loss_last, best_pv)
+    best_pv = jnp.minimum(loss_last, best_pv)
+    # per-view argmin over starts
+    pv_vs = best_pv.reshape(n_views, s)
+    start_ix = jnp.argmin(pv_vs, axis=1)  # [V]
+    loss_f = jnp.take_along_axis(pv_vs, start_ix[:, None], axis=1)[:, 0]
+    best_delta = jnp.take_along_axis(
+        best_delta.reshape(n_views, s, 6), start_ix[:, None, None], axis=1
+    )[:, 0]
     # keep a refined pose only where it actually improved on the initial
     better = (loss_f < loss0) & view_valid
     twc = jnp.where(better[:, None, None], twc0 @ se3_exp(best_delta), twc0)
