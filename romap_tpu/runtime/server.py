@@ -89,9 +89,11 @@ class _Reader:
 
 
 class RuntimeServer:
-    def __init__(self, cfg: NerfConfig | None = None, final_waves: int = 1):
+    def __init__(self, cfg: NerfConfig | None = None, final_waves: int = 1,
+                 joint_ba: int = 0):
         self.base_cfg = cfg or NerfConfig()
         self.final_waves = max(1, final_waves)  # shutdown polish waves
+        self.joint_ba = max(0, joint_ba)  # shutdown joint pose+field BA iters
         self.mgr: NerfManagerOnline | None = None
         self._h = self._w = 0
         self._running = True
@@ -107,6 +109,7 @@ class RuntimeServer:
                 self.base_cfg, use_sparse_depth=use_depth,
                 train_step_iterations=iters, capacity=capacity,
                 mesh_enabled=mesh_on, final_waves=self.final_waves,
+                joint_ba_iters=self.joint_ba,
             )
             return b""
         if op == OPS["DATASET_INIT"]:
@@ -241,6 +244,12 @@ def main() -> None:
                     help="training waves per object at shutdown (1 = "
                          "reference parity; more polishes convergence on "
                          "the final keyframe set)")
+    ap.add_argument("--joint-ba", type=int, default=0,
+                    help="shutdown joint photometric BA iterations: "
+                         "optimize a shared per-keyframe SE(3) correction "
+                         "jointly with the fields (BARF-style), fold the "
+                         "deltas into the stored keyframe poses, then run "
+                         "the final waves (0 = off/reference parity)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a jax platform (the axon sitecustomize pins "
                          "the TPU tunnel; JAX_PLATFORMS alone is ignored)")
@@ -264,7 +273,8 @@ def main() -> None:
             train=TrainConfig(rays_per_batch=512, samples_per_ray=16,
                               mc_resolution=17),
         )
-    RuntimeServer(cfg, final_waves=args.final_waves).serve(args.socket)
+    RuntimeServer(cfg, final_waves=args.final_waves,
+                  joint_ba=args.joint_ba).serve(args.socket)
 
 
 if __name__ == "__main__":

@@ -277,3 +277,39 @@ def test_sparse_depth_supervision_changes_training():
         jax.tree.map(np.asarray, m_off.state.params))])
     assert not np.allclose(p_on, p_off)
     assert np.isfinite(m_on.losses()).all()
+
+
+def test_joint_ba_shutdown_rewrites_poses():
+    """Shutdown joint photometric BA (joint_ba_iters > 0): wait_threads_end
+    must run the joint (field, keyframe-pose) block, fold the SE(3)
+    corrections into the frame store's poses, and leave training healthy.
+    Off by default (reference parity); A/B-measured on the online demo."""
+    cam, objects, frames = make_world()
+    mgr = NerfManagerOnline(tiny_cfg(), train_step_iterations=25, capacity=2,
+                            mesh_enabled=False, joint_ba_iters=40)
+    mgr.dataset_init(cam.fx, cam.fy, cam.cx, cam.cy, cam.h, cam.w, len(frames))
+    obj = objects[0]
+    rows = []
+    for fi, f in enumerate(frames):
+        mgr.new_frame_to_dataset(fi, f["stamp"], f["rgb"], f["instance"],
+                                 pose=f["twc"])
+        bb = f["bboxes"][obj.instance_id]
+        if bb is not None:
+            rows.append((fi, *bb))
+    tow = np.eye(4, dtype=np.float32)
+    tow[:3, 3] = -obj.center
+    half = obj.aabb_half_extents()
+    idx = mgr.create_nerf(1, tow, -half, half)
+    mgr.update_nerf_bbox(idx, rows, 6)
+    mgr.pump()
+    before = [np.array(mgr.store._poses[i]) for i in range(len(frames))]
+    mgr.wait_threads_end()
+    after = [np.array(mgr.store._poses[i]) for i in range(len(frames))]
+    moved = sum(not np.allclose(a, b) for a, b in zip(after, before))
+    assert moved > 0  # the BA rewrote poses
+    for a, b in zip(after, before):
+        # SE(3) corrections stay small (it is a POLISH) and valid
+        assert np.linalg.norm(a[:3, 3] - b[:3, 3]) < 0.2
+        np.testing.assert_allclose(a[:3, :3] @ a[:3, :3].T, np.eye(3),
+                                   atol=1e-4)
+    assert np.isfinite(mgr.losses()).all()
