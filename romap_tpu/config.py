@@ -39,18 +39,19 @@ class EncodingConfig:
     log2_hashmap_size: int = 16
     base_resolution: int = 16
     desired_resolution: float = 2048.0
-    # mxgrid knobs — flagship defaults picked by the round-3/4 speed/quality
-    # ladders on v5e (QUALITY.json): CP 6 levels to 256 @ 64ch + one
-    # (128,128,4) plane level runs 560 obj-iters/s with a 5000-step PSNR of
-    # 28.95 dB — within 0.10 dB of the tcnn-semantics hash grid (29.05 dB),
-    # i.e. inside BASELINE.md's 0.5 dB parity budget, while 1.33x faster
-    # than the previous (128,128,8) flagship (421). Doubling plane channels
-    # back to 8 buys +0.34 dB at 25% cost if quality headroom matters;
-    # dropping planes entirely (852 obj-iters/s) loses 0.79 dB and breaks
-    # the parity budget.
+    # mxgrid knobs — flagship defaults picked by the round-3..5 speed/quality
+    # ladders on v5e (QUALITY.json): CP 6 levels to 192 @ 48ch + one
+    # (128,128,4) plane level runs 628 obj-iters/s with a 5000-step PSNR of
+    # 29.12 dB — ABOVE the tcnn-semantics hash grid anchor (29.05 dB), well
+    # inside BASELINE.md's 0.5 dB parity budget. The walls are measured:
+    # k32 (28.39) and p3 (28.44) both fall below the 28.55 dB parity floor,
+    # and the previous cp256_k64 flagship was slower (560-581) AND lower
+    # quality (28.95). Raising planes to (128,8) buys +0.3 dB at ~30% cost
+    # if quality headroom matters; dropping planes entirely (852 obj-iters/s)
+    # loses ~0.8 dB and breaks the parity budget.
     mx_levels: int = 6
-    mx_max_resolution: int = 256
-    mx_features: int = 64
+    mx_max_resolution: int = 192
+    mx_features: int = 48
     # VM plane-x-line components (TensoRF-style): restore full-rank texture
     # capacity that rank-limited CP lines lack. 0 disables.
     mx_plane_res: int = 128
@@ -92,17 +93,21 @@ class EncodingConfig:
     def preset(cls, name: str) -> "EncodingConfig":
         """Named speed/quality points from the v5e ladder (QUALITY.json).
 
-        flagship — default: 580 obj-iters/s, 28.95 dB @ 5000 steps.
+        flagship — default: 628 obj-iters/s, 29.12 dB @ 5000 steps (beats
+                   the tcnn anchor, QUALITY.json speeds_r5/psnr).
         fast     — CP-only, 852 obj-iters/s, 28.26 dB (outside the 0.5 dB
                    parity budget; for throughput-bound many-object scenes).
-        quality  — (128,8) planes, 434 obj-iters/s, 29.29 dB (best PSNR).
+        quality  — cp256_k64 + (128,8) planes, 434 obj-iters/s, 29.29 dB
+                   (best PSNR).
         tcnn     — exact tcnn HashGrid semantics (29.05 dB; gather-bound on
                    TPU, ~0.9 s/iter — parity/debug only).
         """
         presets = {
             "flagship": cls(),
-            "fast": cls(mx_plane_specs=()),
-            "quality": cls(mx_plane_features=8),
+            "fast": cls(mx_max_resolution=256, mx_features=64,
+                        mx_plane_specs=()),
+            "quality": cls(mx_max_resolution=256, mx_features=64,
+                           mx_plane_features=8),
             "tcnn": cls(kind="hashgrid"),
         }
         if name not in presets:

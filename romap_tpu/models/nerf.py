@@ -419,6 +419,7 @@ def train_objects_joint_ba(
     n_iters: int,
     use_depth: bool = False,
     pose_lr: float = 3e-3,
+    pose_clip: float = 0.03,
 ) -> tuple[TrainState, PoseBAState]:
     """Joint (field, keyframe-pose) photometric optimization.
 
@@ -429,6 +430,17 @@ def train_objects_joint_ba(
     BARF/NeRF-SLAM block: poses Twc_f <- Twc_f @ exp(delta_f), delta_0
     pinned as the gauge anchor. Beyond the reference (which trains with
     SLAM poses as-is).
+
+    pose_clip is a hard trust region (per-coordinate |delta| bound).
+    Without it, Adam's magnitude-normalized steps let weakly-constrained
+    keyframes random-walk at pose_lr per iteration — measured on the room
+    demo at 800 iters: mean |dt| 0.26, max 1.43, held-out PSNR collapsed
+    to 6 dB because the fields follow the drifting gauge while eval views
+    are refined locally from raw SLAM poses and cannot recover a >1-unit
+    shift. The clip bounds worst-case gauge drift to pose_clip*sqrt(6)
+    (~0.07 at the default), well inside the eval refiner's multi-start
+    capture basin, while still admitting the ~0.01-0.03 corrections that
+    win on the synthetic diagnostic (+0.26 dB vs matched-budget control).
     """
     from romap_tpu.ops.geometry import se3_exp
 
@@ -499,6 +511,7 @@ def train_objects_joint_ba(
         mh = m / (1.0 - 0.9 ** it)
         vh = v / (1.0 - 0.99 ** it)
         delta = ps.delta - pose_lr * mh / (jnp.sqrt(vh) + 1e-8)
+        delta = jnp.clip(delta, -pose_clip, pose_clip)
         delta = delta.at[0].set(0.0)
         return (
             TrainState(params, ema, opt_state, key_next, step, logged),

@@ -75,6 +75,10 @@ def test_joint_ba_improves_consistency_of_perturbed_poses():
     assert np.isfinite(np.asarray(ps.delta)).all()
     assert int(ps.step) == 400
     np.testing.assert_array_equal(np.asarray(ps.delta[0]), np.zeros(6))
+    # trust region: no coordinate may escape the pose_clip bound (0.03
+    # default) — this is what prevents the unclipped failure mode measured
+    # on the room demo (Adam random-walk to |dt| 1.4, eval collapse to 6 dB)
+    assert np.abs(np.asarray(ps.delta)).max() <= 0.03 + 1e-6
 
     fixed = nerf.apply_pose_ba(np.asarray(frames.poses), ps)[: len(seq)]
 
