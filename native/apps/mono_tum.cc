@@ -493,6 +493,13 @@ int main(int argc, char** argv) {
     for (size_t k = 0; k < ds.stamps.size(); ++k)
       stamp_us_to_ds[static_cast<long long>(std::atof(ds.stamps[k].c_str())
                                             * 1e6)] = k;
+    // BA-recomposed per-frame poses (Snapshot composes each frame through
+    // its reference keyframe, which FinalBundleAdjust just refined) — eval
+    // views start from these instead of raw tracking-time poses, putting
+    // their initial error inside the photometric refiner's capture basin
+    std::map<long long, romap::SE3> refined_twc;
+    for (const auto& st : tracker.Snapshot().trajectory)
+      refined_twc[static_cast<long long>(st.t * 1e6)] = st.tcw.inverse();
     for (ObjectMap* obj : tracker.map().Objects()) {
       if (!obj->have_nerf || !nerf_idx.count(obj)) continue;
       std::vector<std::string> stamps;
@@ -516,8 +523,14 @@ int main(int argc, char** argv) {
         stamps.push_back(stamp);
         boxes.push_back({0, bx, by, bh, bw});
         monerf::Mat4 m;
-        const Mat4& src = obj->history_twc.at(kv.first);
-        for (int k = 0; k < 16; ++k) m.m[k] = src.val[k];
+        auto rit = refined_twc.find(static_cast<long long>(kv.first * 1e6));
+        if (rit != refined_twc.end()) {
+          Mat4 rm = rit->second.matrix();
+          for (int k = 0; k < 16; ++k) m.m[k] = rm.val[k];
+        } else {
+          const Mat4& src = obj->history_twc.at(kv.first);
+          for (int k = 0; k < 16; ++k) m.m[k] = src.val[k];
+        }
         twcs.push_back(m);
         // ship the bbox crop (RGB + object mask) so the runtime can
         // photometrically refine this view's raw tracking pose against the

@@ -76,6 +76,12 @@ class Map {
       if (!kf->bad) out.push_back(kf.get());
     return out;
   }
+  // culled keyframes included — trajectory entries may still reference them
+  std::vector<KeyFrame*> AllKeyFrames() const {
+    std::vector<KeyFrame*> out;
+    for (const auto& kf : keyframes_) out.push_back(kf.get());
+    return out;
+  }
   std::vector<MapPoint*> Points() const {
     std::vector<MapPoint*> out;
     for (const auto& p : points_)
@@ -167,7 +173,7 @@ class Map {
 // covisibility graph, ref KeyFrame::UpdateConnections; at object-mapping
 // map sizes a recount per query is cheaper than the bookkeeping).
 inline std::vector<KeyFrame*> KeyFrame::Covisible(int min_shared) const {
-  std::map<KeyFrame*, int> counts;
+  std::map<KeyFrame*, int, ById> counts;
   for (const MapPoint* p : points) {
     if (!p || p->bad) continue;
     for (const auto& [kf, idx] : p->obs)
@@ -176,8 +182,12 @@ inline std::vector<KeyFrame*> KeyFrame::Covisible(int min_shared) const {
   std::vector<std::pair<int, KeyFrame*>> ranked;
   for (auto& [kf, n] : counts)
     if (n >= min_shared) ranked.push_back({n, kf});
-  std::sort(ranked.begin(), ranked.end(),
-            [](const auto& a, const auto& b) { return a.first > b.first; });
+  // id tiebreak: equal-count keyframes must rank deterministically (see
+  // ById in types.h — this ordering feeds BA windows and fuse targets)
+  std::sort(ranked.begin(), ranked.end(), [](const auto& a, const auto& b) {
+    return a.first != b.first ? a.first > b.first
+                              : a.second->id < b.second->id;
+  });
   std::vector<KeyFrame*> out;
   out.reserve(ranked.size());
   for (auto& [n, kf] : ranked) out.push_back(kf);

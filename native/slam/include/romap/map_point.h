@@ -20,20 +20,19 @@ struct MapPoint {
   Vec3 pos{0, 0, 0};
   bool bad = false;
   // object -> frame id at which this point was associated with it
-  std::map<ObjectMap*, long> objects;
+  std::map<ObjectMap*, long, ById> objects;
 
   // --- tracking-side state (unused by pure object-layer tests) ----------
   long id = -1;
   cv::Mat descriptor;                 // 1x32 ORB, representative
-  std::map<KeyFrame*, int> obs;       // keyframe -> keypoint index
+  std::map<KeyFrame*, int, ById> obs;  // keyframe -> keypoint index
   int n_found = 1, n_visible = 1;     // tracking statistics
   long last_seen_frame = -1;
   long first_kf_id = -1;
 
-  void AddObject(ObjectMap* obj, long frame_id) {
-    objects.emplace(obj, frame_id);
-  }
-  void EraseObject(ObjectMap* obj) { objects.erase(obj); }
+  // defined in object_map.h — ById needs ObjectMap::id complete
+  void AddObject(ObjectMap* obj, long frame_id);
+  void EraseObject(ObjectMap* obj);
   float FoundRatio() const {
     return n_visible > 0 ? float(n_found) / n_visible : 0.f;
   }

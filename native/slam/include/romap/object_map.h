@@ -132,7 +132,7 @@ class ObjectMap {
   bool have_hist_cam = false;
   std::map<double, Bbox> keyframe_history_bbox;  // stamps that became KFs
   std::map<double, Bbox> keyframe_bbox_pending;  // not yet sent to the NeRF
-  std::map<ObjectMap*, int> appear_same_times;   // covisibility counts
+  std::map<ObjectMap*, int, ById> appear_same_times;  // covisibility counts
 
   // yaw histogram: bucket -> (count, mean score, mean yaw)
   std::map<int, cv::Vec3d> yaw_scores;
@@ -148,6 +148,13 @@ class ObjectMap {
   bool bad_ = false;
   static long next_id_;
 };
+
+// out-of-line from map_point.h: the ById comparator on the objects map
+// needs ObjectMap::id, which is incomplete there
+inline void MapPoint::AddObject(ObjectMap* obj, long frame_id) {
+  objects.emplace(obj, frame_id);
+}
+inline void MapPoint::EraseObject(ObjectMap* obj) { objects.erase(obj); }
 
 // 1-DoF yaw refinement: minimizes the summed angular error between detected
 // lines and the projected object axes, Gauss-Newton with numeric derivative

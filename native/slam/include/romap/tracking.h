@@ -101,10 +101,19 @@ class Tracker {
   const Frame& current() const { return cur_; }
   NerfHooks hooks;
 
-  // trajectory of every tracked frame (TUM export)
+  // trajectory of every tracked frame (TUM export). Each entry also keeps
+  // the reference keyframe at tracking time plus the frame's pose RELATIVE
+  // to it (tcw = t_cr * ref_kf->tcw) — ORB-SLAM's trajectory bookkeeping
+  // (ref src/Tracking.cc mlRelativeFramePoses/mlpReferences + System::
+  // SaveTrajectoryTUM src/System.cc:412-443): when BA later refines the
+  // keyframes, every frame pose recomposes consistently. Culled keyframes
+  // stay allocated (Map::EraseKeyFrame), so ref_kf stays valid; a map
+  // Reset() nulls ref_kf on prior entries (their keyframes are freed).
   struct Stamped {
     double t;
     SE3 tcw;
+    KeyFrame* ref_kf = nullptr;
+    SE3 t_cr;
   };
   const std::vector<Stamped>& trajectory() const { return trajectory_; }
 
@@ -113,6 +122,8 @@ class Tracker {
   // point positions (BA) and object shapes under the same lock, so reading
   // the live Map mid-run without it is a data race.
   struct MapSnapshot {
+    // per-frame poses recomposed from the CURRENT (BA-refined) reference-
+    // keyframe poses — SaveTrajectoryTUM semantics, see Stamped
     std::vector<Stamped> trajectory;
     struct KF {
       double t;
@@ -151,6 +162,7 @@ class Tracker {
   std::vector<double> mapping_ms();  // per-MappingStep wall times
 
  private:
+  Stamped MakeStamped(double timestamp) const;
   void BuildFrame(const cv::Mat& gray, const cv::Mat& instance,
                   const std::vector<Detection>& detections, double timestamp);
   std::vector<Detection> FilterDetections(const std::vector<Detection>& in) const;
@@ -207,8 +219,8 @@ class Tracker {
   std::vector<double> mapping_ms_;  // guarded by queue_mutex_
 
   // per-object creation-time viewing direction (for the angle trigger)
-  std::map<ObjectMap*, Vec3> first_view_dir_;
-  std::map<ObjectMap*, Vec3> last_pushed_dir_;
+  std::map<ObjectMap*, Vec3, ById> first_view_dir_;
+  std::map<ObjectMap*, Vec3, ById> last_pushed_dir_;
 };
 
 }  // namespace romap

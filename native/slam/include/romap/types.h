@@ -16,6 +16,22 @@
 
 namespace romap {
 
+// Deterministic ordering for pointer-keyed containers. Heap addresses vary
+// with unrelated allocations (and run to run), so a std::map/set keyed on
+// raw pointers iterates in an arbitrary order — which leaks into
+// covisibility rankings, BA residual-assembly (float summation) order, and
+// relocalization candidate order, making tracking results depend on memory
+// layout (measured: a padding-only struct change moved tracking_test ATE
+// 0.036 -> 0.130). Ordering by the stable creation id makes iteration
+// reproducible; the address tiebreak only covers unregistered objects
+// (id -1 in unit tests) where determinism is not required.
+struct ById {
+  template <class T>
+  bool operator()(const T* a, const T* b) const {
+    return a->id != b->id ? a->id < b->id : a < b;
+  }
+};
+
 using Vec3 = cv::Vec3f;
 using Mat3 = cv::Matx33f;
 using Mat4 = cv::Matx44f;

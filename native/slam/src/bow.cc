@@ -142,7 +142,7 @@ std::vector<std::pair<float, KeyFrame*>> KeyFrameDatabase::QueryScored(
     const cv::Mat& descriptors, int top_k) const {
   std::vector<std::pair<float, KeyFrame*>> ranked;
   if (!voc_->trained() || n_kf_ == 0) return ranked;
-  std::map<KeyFrame*, float> score;
+  std::map<KeyFrame*, float, ById> score;
   for (const auto& kv : voc_->Vector(descriptors)) {
     const auto& bucket = inv_[kv.first];
     if (bucket.empty()) continue;
@@ -154,8 +154,12 @@ std::vector<std::pair<float, KeyFrame*>> KeyFrameDatabase::QueryScored(
   }
   ranked.reserve(score.size());
   for (const auto& kv : score) ranked.push_back({kv.second, kv.first});
-  std::sort(ranked.begin(), ranked.end(),
-            [](const auto& a, const auto& b) { return a.first > b.first; });
+  // id tiebreak keeps equal-score candidate order independent of heap
+  // layout (see ById in types.h)
+  std::sort(ranked.begin(), ranked.end(), [](const auto& a, const auto& b) {
+    return a.first != b.first ? a.first > b.first
+                              : a.second->id < b.second->id;
+  });
   if (static_cast<int>(ranked.size()) > top_k) ranked.resize(top_k);
   return ranked;
 }

@@ -7,6 +7,7 @@
 #include <algorithm>
 #include <array>
 #include <cmath>
+#include <limits>
 
 #include <opencv2/imgproc.hpp>
 
@@ -232,6 +233,12 @@ void Tracker::Reset() {
   {
     std::lock_guard<std::mutex> ql(queue_mutex_);
     kf_queue_.clear();  // queued KeyFrame* die with the map
+  }
+  // keyframes are about to be freed — freeze prior trajectory entries at
+  // their last composed pose (they can no longer track BA refinements)
+  for (Stamped& st : trajectory_) {
+    if (st.ref_kf) st.tcw = st.t_cr * st.ref_kf->tcw;
+    st.ref_kf = nullptr;
   }
   map_.Clear();
   kfdb_.Clear();  // indexed KeyFrame* die with the map (vocab stays trained)
@@ -776,11 +783,25 @@ void Tracker::TriggerNerf(KeyFrame* kf) {
   }
 }
 
+Tracker::Stamped Tracker::MakeStamped(double timestamp) const {
+  Stamped s{timestamp, cur_.tcw};
+  if (last_kf_) {
+    s.ref_kf = last_kf_;
+    s.t_cr = cur_.tcw * last_kf_->Twc();
+  }
+  return s;
+}
+
 Tracker::MapSnapshot Tracker::Snapshot() {
   std::unique_lock<std::mutex> lk(map_mutex_, std::defer_lock);
   if (mapping_async_) lk.lock();
   MapSnapshot s;
   s.trajectory = trajectory_;
+  // recompose each frame pose from its reference keyframe's CURRENT pose
+  // (local/final BA moves keyframes after the frame was tracked) — the
+  // SaveTrajectoryTUM composition, ref src/System.cc:412-443
+  for (Stamped& st : s.trajectory)
+    if (st.ref_kf) st.tcw = st.t_cr * st.ref_kf->tcw;
   for (const KeyFrame* kf : map_.KeyFrames())
     s.keyframes.push_back({kf->timestamp, kf->tcw});
   for (const MapPoint* p : map_.Points()) s.points.push_back(p->pos);
@@ -851,11 +872,27 @@ void Tracker::FinalBundleAdjust() {
     if (kfs.size() < 3) return;
     // pin the gauge on the first two keyframes (scale + origin)
     std::set<KeyFrame*> fixed{kfs[0], kfs[1]};
+    std::map<KeyFrame*, SE3> pre_ba;
+    for (KeyFrame* k : kfs) pre_ba[k] = k->tcw;
     BAStats s1 = LocalBundleAdjust(kfs, fixed, /*iters=*/6);
     BAStats s2 = LocalBundleAdjust(kfs, fixed, /*iters=*/4);  // post-strip
     std::printf("[final BA] kfs=%zu pts=%d obs=%d rmse %.2f->%.2f->%.2f px\n",
                 kfs.size(), s2.n_points, s2.n_obs, s1.initial_rmse_px,
                 s1.final_rmse_px, s2.final_rmse_px);
+    // culled keyframes don't participate in BA but trajectory entries may
+    // still compose through them — drag each along by its nearest-in-time
+    // surviving keyframe's correction (first-order stand-in for ORB-SLAM's
+    // parent-chain reanchoring, ref KeyFrame::SetBadFlag src/KeyFrame.cc)
+    for (KeyFrame* k : map_.AllKeyFrames()) {
+      if (!k->bad) continue;
+      KeyFrame* near = nullptr;
+      double best = std::numeric_limits<double>::max();
+      for (KeyFrame* g : kfs) {
+        double d = std::abs(g->timestamp - k->timestamp);
+        if (d < best) { best = d; near = g; }
+      }
+      if (near) k->tcw = near->tcw * pre_ba[near].inverse() * k->tcw;
+    }
     refined.reserve(kfs.size());
     for (KeyFrame* k : kfs) refined.push_back({k->timestamp, k->Twc()});
   }
@@ -895,7 +932,7 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
 
   if (state_ == State::kNotInitialized) {
     if (Initialize()) {
-      trajectory_.push_back({timestamp, cur_.tcw});
+      trajectory_.push_back(MakeStamped(timestamp));
       last_ = cur_;
       return cur_.tcw;
     }
@@ -953,7 +990,7 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
       MappingStep(kf, rgb, instance, cur_.lines);
     }
   }
-  trajectory_.push_back({timestamp, cur_.tcw});
+  trajectory_.push_back(MakeStamped(timestamp));
   last_ = cur_;
   return cur_.tcw;
 }
