@@ -223,6 +223,29 @@ int main(int argc, char** argv) {
   // BA corrections and the recorded drift grows — wider gate there.
   CHECK(ate < (async ? 0.30f : 0.15f));
 
+  // BA-recomposed trajectory (Snapshot composes each frame through its
+  // reference keyframe, refined by FinalBundleAdjust above): the export
+  // metric — must beat (or at worst match) the harsh at-track-time ATE
+  {
+    auto snap = tracker.Snapshot();
+    std::map<double, SE3> by_t;
+    for (const auto& st : snap.trajectory) by_t[st.t] = st.tcw;
+    float ate_r = 0;
+    int n_r = 0;
+    for (size_t k = 0; k < gt.size(); ++k) {
+      auto it = by_t.find(est_idx[k] * 0.1);
+      if (it == by_t.end()) continue;
+      Vec3 gc = gt[k].inverse().t - g0;
+      Vec3 ec = (it->second.inverse().t - e0) * scale;
+      ate_r += static_cast<float>(cv::norm(gc - ec));
+      ++n_r;
+    }
+    CHECK(n_r > 0);
+    ate_r /= n_r;
+    std::printf("ATE (BA-recomposed): %.4f m over %d poses\n", ate_r, n_r);
+    CHECK(ate_r < ate * 1.10f + 0.005f);  // small slack: scale fit is raw's
+  }
+
   // object landmark near the true sphere (in the SLAM's scaled world)
   auto objects = tracker.map().Objects();
   std::printf("objects: %zu\n", objects.size());
