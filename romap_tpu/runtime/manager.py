@@ -89,13 +89,18 @@ class NerfManagerOnline:
         # Shutdown joint photometric BA (beyond the reference): optimize a
         # shared per-keyframe SE(3) correction table JOINTLY with the fields
         # for this many iterations before the final waves (BARF-style; see
-        # nerf.train_objects_joint_ba). Block-coordinate polish against a
-        # FROZEN field was measured self-referential (refined poses track
-        # the field's own geometry: truth err 0.023 -> 0.025) and removed;
-        # the joint form improves gauge-aligned pose error ~18% and beats a
-        # matched-budget plain-training control (+0.26 dB synthetic).
-        # 0 = off (reference parity: SLAM poses trained as-is).
+        # nerf.train_objects_joint_ba). 0 = off, the PRODUCTION default
+        # (reference parity: SLAM poses trained as-is). Measured online
+        # (ARCHITECTURE "Joint-BA hardening"): with shutdown BA already at
+        # 0.8 px, the photometric pose gradient is noise-dominated and
+        # joint BA REGRESSES held-out eval 23 -> 16 dB even with the trust
+        # region, depth-free objective and gauge transport; the +0.26 dB
+        # synthetic win only exists when input poses carry real (0.02+)
+        # error. Enable only for high-pose-error regimes.
         self.joint_ba_iters = max(0, int(joint_ba_iters))
+        # set by _joint_ba: (kf stamps, old Twc, corrected Twc) — transports
+        # eval-view poses into the corrected gauge in render_nerfs_test
+        self._jba_transport = None
 
         # Multi-chip by default: object-axis dp over a 1-D device mesh (the
         # TPU-native form of the reference's replicate-dataset + round-robin
@@ -391,20 +396,38 @@ class NerfManagerOnline:
             nerf.init_pose_ba_state(int(frames.poses.shape[0])),
             shardlib.replicated(self.mesh),
         )
+        # depth stays OUT of the joint objective: sparse-depth targets were
+        # triangulated against the ORIGINAL pose graph, so once poses move
+        # they anchor stale geometry and fight the photometric term
+        # (measured on the room demo: depth-in-BA runs landed ~17 dB vs the
+        # ~23 dB no-BA baseline even with the trust-region clip)
         self.state, ps = nerf.train_objects_joint_ba(
             self.state, ps, objs, frames, self.cfg, self.spec,
-            self.joint_ba_iters, self.use_depth,
+            self.joint_ba_iters, use_depth=False,
         )
         n = self.store.count
+        old = np.asarray(self.store._poses[:n], np.float32).copy()
         corrected = nerf.apply_pose_ba(
-            np.asarray(self.store._poses[:n], np.float32),
-            jax.tree.map(lambda a: a[:n] if a.ndim else a, ps),
+            old, jax.tree.map(lambda a: a[:n] if a.ndim else a, ps),
         )
-        delta_t = np.linalg.norm(
-            corrected[:, :3, 3] - self.store._poses[:n, :3, 3], axis=1
-        )
+        delta_t = np.linalg.norm(corrected[:, :3, 3] - old[:, :3, 3], axis=1)
         self.store._poses[:n] = corrected
         self.store._dirty = True
+        # gauge transport for eval views: the fields now live in the
+        # corrected-pose gauge, but RenderNeRFsTest views arrive with
+        # frontend poses. Each eval view is transported rigidly with its
+        # nearest-in-time keyframe — the camera-to-camera relative pose is
+        # preserved: Twc_view' = Twc_kf' @ inv(Twc_kf) @ Twc_view (the
+        # world-side correction of the keyframe, applied on the left) —
+        # before per-view photometric refinement.
+        kf_stamps = np.full(n, np.nan)
+        for s, i in self.store.stamp_to_idx.items():
+            if i < n:
+                try:
+                    kf_stamps[i] = float(s)
+                except ValueError:
+                    pass
+        self._jba_transport = (kf_stamps, old, corrected.copy())
         print(f"joint BA: {self.joint_ba_iters} iters over {n} keyframes, "
               f"mean |dt| {delta_t.mean():.4f} max {delta_t.max():.4f}",
               flush=True)
@@ -480,6 +503,20 @@ class NerfManagerOnline:
             self._wait_idle_locked()
             params = jax.tree.map(lambda a: a[idx], self.state.ema)
         twcs = [np.asarray(t, np.float32) for t in twcs]
+        transport = getattr(self, "_jba_transport", None)
+        if transport is not None:
+            kf_stamps, old_twc, new_twc = transport
+            valid = np.isfinite(kf_stamps)
+            for i, s in enumerate(stamps):
+                try:
+                    t = float(s)
+                except ValueError:
+                    continue
+                cand = np.where(valid)[0]
+                if not len(cand):
+                    break
+                k = cand[np.argmin(np.abs(kf_stamps[cand] - t))]
+                twcs[i] = new_twc[k] @ np.linalg.inv(old_twc[k]) @ twcs[i]
         dbg = os.environ.get("ROMAP_SAVE_STATE")
         if dbg and pixels is not None:
             import pickle
