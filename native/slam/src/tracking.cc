@@ -891,7 +891,9 @@ void Tracker::FinalBundleAdjust() {
         double d = std::abs(g->timestamp - k->timestamp);
         if (d < best) { best = d; near = g; }
       }
-      if (near) k->tcw = near->tcw * pre_ba[near].inverse() * k->tcw;
+      // preserve the camera-to-camera relative pose to the anchor:
+      // tcw_k' = (tcw_k * Twc_near) * tcw_near'
+      if (near) k->tcw = k->tcw * pre_ba[near].inverse() * near->tcw;
     }
     refined.reserve(kfs.size());
     for (KeyFrame* k : kfs) refined.push_back({k->timestamp, k->Twc()});

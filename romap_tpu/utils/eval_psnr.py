@@ -137,7 +137,7 @@ def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
         return None
     views = _read_manifest(manifest)
     stamp_map = _stamp_to_image(dataset)
-    psnrs, ssims, ious = [], [], []
+    psnrs, ssims, ious, view_stamps = [], [], [], []
     for v in views:
         name = stamp_map.get(f"{float(v['stamp']):.6f}")
         if name is None:
@@ -162,6 +162,7 @@ def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
         renf = ren.astype(np.float32) / 255.0
         mse = float(np.mean((renf[obj_px] - gt[obj_px]) ** 2))
         psnrs.append(-10.0 * np.log10(max(mse, 1e-9)))
+        view_stamps.append(v["stamp"])
         ga = renf[..., :3].mean(-1) * obj_px
         gb = gt[..., :3].mean(-1) * obj_px
         ssims.append(_ssim(ga, gb, obj_px))
@@ -177,6 +178,15 @@ def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
         "psnr_db": round(float(np.mean(psnrs)), 2),
         "ssim": round(float(np.mean(ssims)), 4),
         "mask_iou": round(float(np.mean(ious)), 4) if ious else None,
+        # per-view distribution: the mean hides stuck views (a single
+        # 10 dB view costs the 29-view mean ~0.5 dB) — diagnostics need
+        # the tail
+        "psnr_min_db": round(float(np.min(psnrs)), 2),
+        "psnr_p10_db": round(float(np.percentile(psnrs, 10)), 2),
+        "psnr_median_db": round(float(np.median(psnrs)), 2),
+        "per_view": {
+            s: round(float(p), 2) for s, p in zip(view_stamps, psnrs)
+        },
     }
     out.update(_mesh_metrics(obj_dir, dataset))
     return out
