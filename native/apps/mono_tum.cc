@@ -18,6 +18,7 @@
 #include <fstream>
 #include <algorithm>
 #include <map>
+#include <mutex>
 #include <set>
 #include <sstream>
 #include <string>
@@ -244,6 +245,22 @@ int main(int argc, char** argv) {
   int kf_serial = 0;
   std::map<long long, int> stamp_us_to_img;
   std::map<const ObjectMap*, int> nerf_idx;
+  // Dense-view mode (ROMAP_DENSE_VIEWS=1): ship EVERY tracked frame as NeRF
+  // supervision, not just keyframes (the reference trains on keyframes only,
+  // ref src/LocalMapping.cc:74-105 — this mode goes beyond it: ~3x the
+  // training views on the room sequence). Every ROMAP_DENSE_HOLDOUT-th
+  // tracked frame is withheld as an eval view (NeRF-standard split); poses
+  // of dense frames are BA-recomposed and rewritten at shutdown. The upload
+  // hook fires on the tracking thread while keyframe uploads fire on the
+  // mapping thread, so the shared id/stamp tables take a mutex.
+  bool dense_views = std::getenv("ROMAP_DENSE_VIEWS") != nullptr;
+  int dense_holdout = 4;
+  if (const char* dh = std::getenv("ROMAP_DENSE_HOLDOUT"))
+    dense_holdout = std::max(2, std::atoi(dh));
+  std::mutex app_mu;  // guards kf_serial / stamp_us_to_img / dense_pending
+  std::map<const ObjectMap*, std::vector<std::array<int64_t, 5>>>
+      dense_pending;  // bbox rows observed before the object's NeRF exists
+  int dense_serial = 0;
 
   if (socket != "none") {
     mgr.reset(new monerf::NerfManagerOnline(socket, ds.use_sparse_depth,
@@ -252,16 +269,24 @@ int main(int argc, char** argv) {
     // preallocated keyframe budget: nimages/2 + 8 — a deliberately looser
     // bound than the reference's nimages/3 (ref src/System.cc:135-138)
     // because our keyframe policy fires more often on short sequences; the
-    // store grows if it overflows either way.
+    // store grows if it overflows either way. Dense mode uploads nearly
+    // every frame, so it preallocates the full sequence (this also sizes
+    // the manager's per-object bbox table, which does not grow).
+    size_t prealloc = dense_views ? ds.stamps.size() + 8
+                                  : ds.stamps.size() / 2 + 8;
     mgr->DatasetInit(ds.fx, ds.fy, ds.cx, ds.cy, ds.h, ds.w,
-                     std::max<size_t>(ds.stamps.size() / 2 + 8, 16));
+                     std::max<size_t>(prealloc, 16));
     mgr->StartBackgroundTraining();
 
     tracker.hooks.on_keyframe = [&](const KeyFrame& f, const cv::Mat& rgb,
                                     const cv::Mat& instance,
                                     const cv::Mat& sparse_depth) {
-      int img_id = kf_serial++;
-      stamp_us_to_img[static_cast<long long>(f.timestamp * 1e6)] = img_id;
+      int img_id;
+      {
+        std::lock_guard<std::mutex> alk(app_mu);
+        img_id = kf_serial++;
+        stamp_us_to_img[static_cast<long long>(f.timestamp * 1e6)] = img_id;
+      }
       char stamp[64];
       std::snprintf(stamp, sizeof(stamp), "%.6f", f.timestamp);
       cv::Mat rgb_order;
@@ -304,15 +329,25 @@ int main(int argc, char** argv) {
            m[2] * obj->shape.a3}};
       int idx = static_cast<int>(
           mgr->CreateNeRF(obj->cls, ToMat4(obj->shape.t_obj_w), bb));
-      nerf_idx[obj] = idx;
+      std::vector<std::array<int64_t, 5>> backlog;
+      {
+        std::lock_guard<std::mutex> alk(app_mu);
+        nerf_idx[obj] = idx;
+        auto dp = dense_pending.find(obj);
+        if (dp != dense_pending.end()) {
+          backlog = std::move(dp->second);
+          dense_pending.erase(dp);
+        }
+      }
       std::printf("Create NeRF %d for object %ld (class %d)\n", idx, obj->id,
                   obj->cls);
-      return idx;
-    };
-    tracker.hooks.update_bboxes =
-        [&](ObjectMap* obj, const std::vector<std::array<int64_t, 5>>& rows) {
-          std::vector<monerf::FrameIdAndBbox> boxes;
-          for (const auto& r : rows) {
+      if (!backlog.empty()) {
+        // dense rows observed before the NeRF existed (no wave credit:
+        // training budget stays keyframe-driven)
+        std::vector<monerf::FrameIdAndBbox> boxes;
+        {
+          std::lock_guard<std::mutex> alk(app_mu);
+          for (const auto& r : backlog) {
             auto it = stamp_us_to_img.find(r[0]);
             if (it == stamp_us_to_img.end()) continue;
             boxes.push_back({static_cast<uint32_t>(it->second),
@@ -321,35 +356,115 @@ int main(int argc, char** argv) {
                              static_cast<uint32_t>(r[3]),
                              static_cast<uint32_t>(r[4])});
           }
-          if (!boxes.empty() && nerf_idx.count(obj))
-            mgr->UpdateNeRFBbox(nerf_idx[obj], boxes, /*train_step=*/1);
+        }
+        if (!boxes.empty()) mgr->UpdateNeRFBbox(idx, boxes, /*train_step=*/0);
+      }
+      return idx;
+    };
+    tracker.hooks.update_bboxes =
+        [&](ObjectMap* obj, const std::vector<std::array<int64_t, 5>>& rows) {
+          std::vector<monerf::FrameIdAndBbox> boxes;
+          int idx = -1;
+          {
+            std::lock_guard<std::mutex> alk(app_mu);
+            for (const auto& r : rows) {
+              auto it = stamp_us_to_img.find(r[0]);
+              if (it == stamp_us_to_img.end()) continue;
+              boxes.push_back({static_cast<uint32_t>(it->second),
+                               static_cast<uint32_t>(std::max<int64_t>(r[1], 0)),
+                               static_cast<uint32_t>(std::max<int64_t>(r[2], 0)),
+                               static_cast<uint32_t>(r[3]),
+                               static_cast<uint32_t>(r[4])});
+            }
+            auto ni = nerf_idx.find(obj);
+            if (ni != nerf_idx.end()) idx = ni->second;
+          }
+          if (!boxes.empty() && idx >= 0)
+            mgr->UpdateNeRFBbox(idx, boxes, /*train_step=*/1);
         };
+    if (dense_views)
+      tracker.hooks.on_frame = [&](double stamp, const SE3& tcw,
+                                   const cv::Mat& bgr, const cv::Mat& inst,
+                                   const std::vector<std::pair<
+                                       ObjectMap*, Bbox>>& obs,
+                                   bool was_kf) {
+        int serial = dense_serial++;
+        // keyframes arrive via on_keyframe with a post-BA pose; every
+        // dense_holdout-th tracked frame stays out as a held-out eval view
+        if (was_kf || serial % dense_holdout == 0) return;
+        long long us = static_cast<long long>(stamp * 1e6);
+        int img_id;
+        {
+          std::lock_guard<std::mutex> alk(app_mu);
+          if (stamp_us_to_img.count(us)) return;  // already uploaded
+          img_id = kf_serial++;
+          stamp_us_to_img[us] = img_id;
+        }
+        char st[64];
+        std::snprintf(st, sizeof(st), "%.6f", stamp);
+        cv::Mat rgb_order;
+        cv::cvtColor(bgr, rgb_order, cv::COLOR_BGR2RGB);
+        cv::Mat inst_cont = inst.isContinuous() ? inst : inst.clone();
+        mgr->NewFrameToDataset(img_id, st, rgb_order.data, inst_cont.data,
+                               /*depth=*/nullptr, ToMat4(tcw.inverse()));
+        for (const auto& [obj, bbox] : obs) {
+          const auto& r = bbox.rect;
+          std::array<int64_t, 5> row = {
+              us, static_cast<int64_t>(r.x), static_cast<int64_t>(r.y),
+              static_cast<int64_t>(r.height), static_cast<int64_t>(r.width)};
+          int idx = -1;
+          {
+            std::lock_guard<std::mutex> alk(app_mu);
+            auto ni = nerf_idx.find(obj);
+            if (ni != nerf_idx.end()) idx = ni->second;
+            else dense_pending[obj].push_back(row);
+          }
+          if (idx >= 0) {
+            monerf::FrameIdAndBbox b{
+                static_cast<uint32_t>(img_id),
+                static_cast<uint32_t>(std::max<int64_t>(row[1], 0)),
+                static_cast<uint32_t>(std::max<int64_t>(row[2], 0)),
+                static_cast<uint32_t>(row[3]), static_cast<uint32_t>(row[4])};
+            mgr->UpdateNeRFBbox(idx, {b}, /*train_step=*/0);
+          }
+        }
+      };
     tracker.hooks.on_reset = [&] {
       // early-loss map reset invalidates every ObjectMap*/stamp we cached
       nerf_idx.clear();
     };
     tracker.hooks.update_poses =
         [&](const std::vector<std::pair<double, SE3>>& refined) {
-          // rewrite already-uploaded keyframe poses with the BA-refined ones
-          // (the frame store window is contiguous in upload serials)
+          // rewrite already-uploaded keyframe poses with the BA-refined ones.
+          // UpdateDataset takes a contiguous [end-n, end) id window; in
+          // keyframe-only mode the refined window is one run, in dense mode
+          // keyframe ids interleave with dense uploads — send one window per
+          // contiguous id run either way.
           std::vector<std::pair<int, SE3>> got;
-          for (const auto& [t, twc] : refined) {
-            auto it =
-                stamp_us_to_img.find(static_cast<long long>(t * 1e6));
-            if (it != stamp_us_to_img.end()) got.push_back({it->second, twc});
+          {
+            std::lock_guard<std::mutex> alk(app_mu);
+            for (const auto& [t, twc] : refined) {
+              auto it =
+                  stamp_us_to_img.find(static_cast<long long>(t * 1e6));
+              if (it != stamp_us_to_img.end()) got.push_back({it->second, twc});
+            }
           }
           if (got.empty()) return;
           std::sort(got.begin(), got.end(),
                     [](const auto& a, const auto& b) { return a.first < b.first; });
-          size_t start = got.size() - 1;  // longest contiguous suffix
-          while (start > 0 && got[start - 1].first + 1 == got[start].first)
-            --start;
-          std::vector<monerf::Mat4> poses;
-          for (size_t i = start; i < got.size(); ++i)
-            poses.push_back(ToMat4(got[i].second));
-          mgr->UpdateDataset(
-              static_cast<unsigned>(got.back().first + 1),
-              static_cast<unsigned>(poses.size()), poses);
+          size_t i = 0;
+          while (i < got.size()) {
+            size_t j = i + 1;
+            while (j < got.size() && got[j - 1].first + 1 == got[j].first)
+              ++j;
+            std::vector<monerf::Mat4> poses;
+            for (size_t k = i; k < j; ++k)
+              poses.push_back(ToMat4(got[k].second));
+            mgr->UpdateDataset(
+                static_cast<unsigned>(got[j - 1].first + 1),
+                static_cast<unsigned>(poses.size()), poses);
+            i = j;
+          }
         };
   }
 
@@ -472,6 +587,39 @@ int main(int argc, char** argv) {
     std::printf("real-time factor: %.2fx (%.1fs sequence in %.1fs wall)\n",
                 seq_s / wall_s, seq_s, wall_s);
 
+  if (mgr && dense_views) {
+    // dense frames were uploaded with raw tracking-time poses; rewrite every
+    // uploaded frame from the BA-recomposed trajectory (keyframes get their
+    // exact refined poses — for a KF entry t_cr is identity) so the final
+    // shutdown waves train on the refined pose graph end to end.
+    std::map<long long, romap::SE3> recomposed;
+    for (const auto& st : tracker.Snapshot().trajectory)
+      recomposed[static_cast<long long>(st.t * 1e6)] = st.tcw.inverse();
+    std::vector<std::pair<int, SE3>> got;
+    {
+      std::lock_guard<std::mutex> alk(app_mu);
+      for (const auto& [us, img] : stamp_us_to_img) {
+        auto it = recomposed.find(us);
+        if (it != recomposed.end()) got.push_back({img, it->second});
+      }
+    }
+    std::sort(got.begin(), got.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    size_t i = 0, n_sent = 0;
+    while (i < got.size()) {
+      size_t j = i + 1;
+      while (j < got.size() && got[j - 1].first + 1 == got[j].first) ++j;
+      std::vector<monerf::Mat4> poses;
+      for (size_t k = i; k < j; ++k) poses.push_back(ToMat4(got[k].second));
+      mgr->UpdateDataset(static_cast<unsigned>(got[j - 1].first + 1),
+                         static_cast<unsigned>(poses.size()), poses);
+      n_sent += poses.size();
+      i = j;
+    }
+    std::printf("dense views: rewrote %zu uploaded frame poses "
+                "(BA-recomposed)\n", n_sent);
+  }
+
   if (mgr) {
     mgr->WaitThreadsEnd();  // ref SLAM.FinishNeRFs
     {
@@ -507,7 +655,11 @@ int main(int argc, char** argv) {
       std::vector<monerf::Mat4> twcs;
       std::vector<std::vector<uint8_t>> view_rgb, view_mask;
       for (const auto& kv : obj->history_bbox) {
-        if (obj->keyframe_history_bbox.count(kv.first)) continue;  // held-out
+        // held-out = never uploaded as training data (keyframes in the
+        // default mode; keyframes + dense frames in ROMAP_DENSE_VIEWS mode)
+        if (stamp_us_to_img.count(
+                static_cast<long long>(kv.first * 1e6)))
+          continue;
         char stamp[64];
         std::snprintf(stamp, sizeof(stamp), "%.6f", kv.first);
         const auto& r = kv.second.rect;

@@ -81,6 +81,18 @@ struct NerfHooks {
   // Fired by the early-loss map reset (ref Tracking.cc:728-737): every
   // ObjectMap*/KeyFrame* the client holds is invalid afterwards.
   std::function<void()> on_reset;
+  // Fires at the end of every successfully tracked frame (tracking thread,
+  // outside the map lock). obs: (object, this frame's detection bbox) for
+  // every object observed in the frame. was_keyframe: the frame was also
+  // selected as a keyframe — its image will arrive via on_keyframe with a
+  // post-BA pose, so dense-view uploaders must skip it to avoid a stale
+  // duplicate. Beyond the reference (which trains on keyframes only): lets
+  // the app ship every tracked view as NeRF supervision.
+  std::function<void(double timestamp, const SE3& tcw, const cv::Mat& rgb,
+                     const cv::Mat& instance,
+                     const std::vector<std::pair<ObjectMap*, Bbox>>& obs,
+                     bool was_keyframe)>
+      on_frame;
 };
 
 class Tracker {

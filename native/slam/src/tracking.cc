@@ -978,10 +978,12 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
   velocity_ = cur_.tcw * last_.tcw.inverse();
   has_velocity_ = true;
   ++frames_since_kf_;
+  bool made_kf = false;
   if (NeedKeyFrame()) {
     KeyFrame* kf = MakeKeyFrame(rgb, instance);
     last_kf_ = kf;
     frames_since_kf_ = 0;
+    made_kf = true;
     if (mapping_async_) {
       {
         std::lock_guard<std::mutex> ql(queue_mutex_);
@@ -994,6 +996,18 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
   }
   trajectory_.push_back(MakeStamped(timestamp));
   last_ = cur_;
+  if (hooks.on_frame) {
+    // gather this frame's object observations under the map lock, then run
+    // the hook (socket I/O) outside it — same discipline as on_keyframe
+    std::vector<std::pair<ObjectMap*, Bbox>> obs;
+    for (ObjectMap* obj : map_.Objects()) {
+      auto it = obj->history_bbox.find(timestamp);
+      if (it != obj->history_bbox.end()) obs.push_back({obj, it->second});
+    }
+    SE3 tcw = cur_.tcw;
+    if (maplk.owns_lock()) maplk.unlock();
+    hooks.on_frame(timestamp, tcw, rgb, instance, obs, made_kf);
+  }
   return cur_.tcw;
 }
 

@@ -149,6 +149,20 @@ int main(int argc, char** argv) {
       };
   tracker.hooks.on_keyframe = [](const KeyFrame&, const cv::Mat&, const cv::Mat&,
                                  const cv::Mat&) {};
+  // on_frame contract (dense-view uploads): fires once per tracked frame
+  // with the frame images, and flags keyframe frames so uploaders skip them
+  int frame_hooks = 0, frame_hook_kfs = 0, frame_hook_obs = 0;
+  bool frame_hook_imgs_ok = true;
+  tracker.hooks.on_frame = [&](double, const SE3&, const cv::Mat& rgb,
+                               const cv::Mat& inst,
+                               const std::vector<std::pair<ObjectMap*, Bbox>>&
+                                   obs,
+                               bool was_kf) {
+    ++frame_hooks;
+    if (was_kf) ++frame_hook_kfs;
+    frame_hook_obs += static_cast<int>(obs.size());
+    if (rgb.empty() || inst.empty()) frame_hook_imgs_ok = false;
+  };
 
   // 90 frames by default; ROMAP_TEST_FRAMES overrides for drift studies
   // (e.g. the loop-closing-omission measurement in ARCHITECTURE.md)
@@ -289,6 +303,15 @@ int main(int argc, char** argv) {
   CHECK(world.sphere_r - obj->shape.a3 * scale < 0.55f * world.sphere_r);
   CHECK(created_nerfs >= 1);
   CHECK(bbox_pushes >= 6);
+  // dense-view hook: every tracked frame fired exactly once (minus the two
+  // initializer frames, which return before the hook site), keyframe frames
+  // are flagged, and object observations flow through
+  std::printf("on_frame: %d fired, %d keyframes, %d obs\n", frame_hooks,
+              frame_hook_kfs, frame_hook_obs);
+  CHECK(frame_hooks >= tracked - 2 && frame_hooks <= tracked);
+  CHECK(frame_hook_kfs >= 5);
+  CHECK(frame_hook_obs > frame_hooks / 2);
+  CHECK(frame_hook_imgs_ok);
 
   std::printf("tracking_test: ALL OK\n");
   return 0;
