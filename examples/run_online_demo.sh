@@ -18,10 +18,14 @@ cmake -S "$REPO/native" -B "$REPO/native/build" -G Ninja >/dev/null
 cmake --build "$REPO/native/build" >/dev/null
 
 echo "== generating synthetic room dataset =="
+# ROMAP_DEMO_SEED varies the scene draw (object placement/texture): SLAM
+# runs are deterministic per dataset since the heap-layout-determinism fix,
+# so multi-run spread studies must vary the seed, not just re-run.
+SEED="${ROMAP_DEMO_SEED:-0}"
 PYTHONPATH="$REPO:$PYTHONPATH" python -c "
 from romap_tpu.data.world import write_room_dataset
-write_room_dataset('$DATASET', n_objects=$NOBJ)
-print('dataset at $DATASET')"
+write_room_dataset('$DATASET', n_objects=$NOBJ, seed=$SEED)
+print('dataset at $DATASET (seed $SEED)')"
 
 # ROMAP_DEMO_SPARSE_DEPTH=1: enable the NeRF.UseSparseDepth yaml knob
 # (SLAM ships its BA-refined sparse depth as a supervision channel)

@@ -17,6 +17,9 @@
 #include <thread>
 #include <fstream>
 #include <algorithm>
+#include <array>
+#include <condition_variable>
+#include <deque>
 #include <map>
 #include <mutex>
 #include <set>
@@ -261,6 +264,26 @@ int main(int argc, char** argv) {
   std::map<const ObjectMap*, std::vector<std::array<int64_t, 5>>>
       dense_pending;  // bbox rows observed before the object's NeRF exists
   int dense_serial = 0;
+  // Dense uploads run on their OWN worker thread: the server's frame ingest
+  // does a device_put over the TPU relay (~0.1-1 s), and paying that on the
+  // tracking thread drove median tracking time to ~1 s/frame. The tracking
+  // thread only enqueues; the worker ships frames and their bbox rows IN
+  // ORDER (a row never reaches the manager before its frame).
+  struct DenseJob {
+    int img_id = -1;  // -1: rows-only job (create_nerf backlog flush)
+    long long us = 0;
+    std::string stamp;
+    cv::Mat bgr, inst;
+    romap::SE3 twc;
+    // (object, row) pairs; resolved to nerf indices at send time
+    std::vector<std::pair<const ObjectMap*, std::array<int64_t, 5>>> rows;
+    int fixed_idx = -1;  // rows-only jobs: send to this nerf index
+  };
+  std::deque<DenseJob> dense_q;
+  std::mutex dense_mu;
+  std::condition_variable dense_cv;
+  bool dense_finish = false;
+  std::thread dense_worker;
 
   if (socket != "none") {
     mgr.reset(new monerf::NerfManagerOnline(socket, ds.use_sparse_depth,
@@ -343,21 +366,16 @@ int main(int argc, char** argv) {
                   obj->cls);
       if (!backlog.empty()) {
         // dense rows observed before the NeRF existed (no wave credit:
-        // training budget stays keyframe-driven)
-        std::vector<monerf::FrameIdAndBbox> boxes;
+        // training budget stays keyframe-driven). Routed through the dense
+        // queue so a row never arrives before its frame upload.
+        DenseJob job;
+        job.fixed_idx = idx;
+        for (const auto& r : backlog) job.rows.push_back({nullptr, r});
         {
-          std::lock_guard<std::mutex> alk(app_mu);
-          for (const auto& r : backlog) {
-            auto it = stamp_us_to_img.find(r[0]);
-            if (it == stamp_us_to_img.end()) continue;
-            boxes.push_back({static_cast<uint32_t>(it->second),
-                             static_cast<uint32_t>(std::max<int64_t>(r[1], 0)),
-                             static_cast<uint32_t>(std::max<int64_t>(r[2], 0)),
-                             static_cast<uint32_t>(r[3]),
-                             static_cast<uint32_t>(r[4])});
-          }
+          std::lock_guard<std::mutex> qlk(dense_mu);
+          dense_q.push_back(std::move(job));
         }
-        if (!boxes.empty()) mgr->UpdateNeRFBbox(idx, boxes, /*train_step=*/0);
+        dense_cv.notify_one();
       }
       return idx;
     };
@@ -382,7 +400,7 @@ int main(int argc, char** argv) {
           if (!boxes.empty() && idx >= 0)
             mgr->UpdateNeRFBbox(idx, boxes, /*train_step=*/1);
         };
-    if (dense_views)
+    if (dense_views) {
       tracker.hooks.on_frame = [&](double stamp, const SE3& tcw,
                                    const cv::Mat& bgr, const cv::Mat& inst,
                                    const std::vector<std::pair<
@@ -393,42 +411,85 @@ int main(int argc, char** argv) {
         // dense_holdout-th tracked frame stays out as a held-out eval view
         if (was_kf || serial % dense_holdout == 0) return;
         long long us = static_cast<long long>(stamp * 1e6);
-        int img_id;
+        DenseJob job;
         {
           std::lock_guard<std::mutex> alk(app_mu);
           if (stamp_us_to_img.count(us)) return;  // already uploaded
-          img_id = kf_serial++;
-          stamp_us_to_img[us] = img_id;
+          job.img_id = kf_serial++;
+          stamp_us_to_img[us] = job.img_id;
         }
+        job.us = us;
         char st[64];
         std::snprintf(st, sizeof(st), "%.6f", stamp);
-        cv::Mat rgb_order;
-        cv::cvtColor(bgr, rgb_order, cv::COLOR_BGR2RGB);
-        cv::Mat inst_cont = inst.isContinuous() ? inst : inst.clone();
-        mgr->NewFrameToDataset(img_id, st, rgb_order.data, inst_cont.data,
-                               /*depth=*/nullptr, ToMat4(tcw.inverse()));
+        job.stamp = st;
+        job.bgr = bgr.clone();  // tracking thread pays two memcpys only
+        job.inst = inst.clone();
+        job.twc = tcw.inverse();
         for (const auto& [obj, bbox] : obs) {
           const auto& r = bbox.rect;
-          std::array<int64_t, 5> row = {
-              us, static_cast<int64_t>(r.x), static_cast<int64_t>(r.y),
-              static_cast<int64_t>(r.height), static_cast<int64_t>(r.width)};
-          int idx = -1;
+          job.rows.push_back({obj,
+                              {us, static_cast<int64_t>(r.x),
+                               static_cast<int64_t>(r.y),
+                               static_cast<int64_t>(r.height),
+                               static_cast<int64_t>(r.width)}});
+        }
+        {
+          std::lock_guard<std::mutex> qlk(dense_mu);
+          dense_q.push_back(std::move(job));
+        }
+        dense_cv.notify_one();
+      };
+      dense_worker = std::thread([&] {
+        for (;;) {
+          DenseJob job;
           {
-            std::lock_guard<std::mutex> alk(app_mu);
-            auto ni = nerf_idx.find(obj);
-            if (ni != nerf_idx.end()) idx = ni->second;
-            else dense_pending[obj].push_back(row);
+            std::unique_lock<std::mutex> qlk(dense_mu);
+            dense_cv.wait(qlk,
+                          [&] { return dense_finish || !dense_q.empty(); });
+            if (dense_q.empty()) {
+              if (dense_finish) return;
+              continue;
+            }
+            job = std::move(dense_q.front());
+            dense_q.pop_front();
           }
-          if (idx >= 0) {
+          if (job.img_id >= 0) {
+            cv::Mat rgb_order;
+            cv::cvtColor(job.bgr, rgb_order, cv::COLOR_BGR2RGB);
+            cv::Mat inst_cont =
+                job.inst.isContinuous() ? job.inst : job.inst.clone();
+            mgr->NewFrameToDataset(job.img_id, job.stamp, rgb_order.data,
+                                   inst_cont.data, /*depth=*/nullptr,
+                                   ToMat4(job.twc));
+          }
+          for (const auto& [obj, row] : job.rows) {
+            int idx = job.fixed_idx;
+            long long img = job.img_id;
+            {
+              std::lock_guard<std::mutex> alk(app_mu);
+              if (idx < 0) {
+                auto ni = nerf_idx.find(obj);
+                if (ni != nerf_idx.end()) idx = ni->second;
+                else dense_pending[obj].push_back(row);
+              }
+              if (idx >= 0 && img < 0) {  // backlog row: resolve frame id
+                auto it = stamp_us_to_img.find(row[0]);
+                if (it == stamp_us_to_img.end()) continue;
+                img = it->second;
+              }
+            }
+            if (idx < 0) continue;
             monerf::FrameIdAndBbox b{
-                static_cast<uint32_t>(img_id),
+                static_cast<uint32_t>(img),
                 static_cast<uint32_t>(std::max<int64_t>(row[1], 0)),
                 static_cast<uint32_t>(std::max<int64_t>(row[2], 0)),
                 static_cast<uint32_t>(row[3]), static_cast<uint32_t>(row[4])};
-            mgr->UpdateNeRFBbox(idx, {b}, /*train_step=*/0);
+            mgr->UpdateNeRFBbox(static_cast<std::size_t>(idx), {b},
+                                /*train_step=*/0);
           }
         }
-      };
+      });
+    }
     tracker.hooks.on_reset = [&] {
       // early-loss map reset invalidates every ObjectMap*/stamp we cached
       nerf_idx.clear();
@@ -559,6 +620,16 @@ int main(int argc, char** argv) {
                       std::chrono::steady_clock::now() - wall0)
                       .count();
   tracker.StopMapping();  // drain the keyframe queue before finalizing
+  if (dense_worker.joinable()) {
+    // drain dense uploads (StopMapping first: late keyframes can enqueue
+    // backlog jobs) so the shutdown pose rewrite covers every frame
+    {
+      std::lock_guard<std::mutex> qlk(dense_mu);
+      dense_finish = true;
+    }
+    dense_cv.notify_one();
+    dense_worker.join();
+  }
   tracker.FinalBundleAdjust();  // full-window BA + NeRF-store pose rewrite
   tracker.FinalizeObjects();
   std::printf("tracked %d frames; objects: %zu; keyframes: %zu\n", tracked,

@@ -65,6 +65,14 @@ import os
 TILE = int(os.environ.get("MX_TILE", "2048"))  # CP-kernel tile
 PLANE_TILE = int(os.environ.get("MX_PLANE_TILE", "2048"))  # plane-kernel tile
 
+# MX_HAT_BF16=1: run the tent-basis elementwise tail (abs/1-/relu) in
+# bfloat16. The lattice-coordinate subtraction x*a - b stays fp32 — near
+# the top resolution the operands are O(R) with O(1e-3) fractional
+# significance, which bf16's 8 mantissa bits would destroy — but the
+# result is O(1) and bf16-safe. Perf experiment: VPU elementwise is the
+# encode bottleneck (ARCHITECTURE kernel split).
+HAT_BF16 = os.environ.get("MX_HAT_BF16", "0") != "0"
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -85,7 +93,10 @@ def _column_consts(spec: MXGridSpec) -> tuple[np.ndarray, np.ndarray, int]:
 def _hat_t(xd, a_ref, b_ref, dtype):
     """[T] coords -> [RP, T] concatenated multi-level tent basis
     (transposed: basis rows in sublanes, points in lanes)."""
-    h = jnp.maximum(0.0, 1.0 - jnp.abs(xd[None, :] * a_ref[:, :1] - b_ref[:, :1]))
+    z = xd[None, :] * a_ref[:, :1] - b_ref[:, :1]  # fp32: O(R) operands
+    if HAT_BF16 and dtype != jnp.float32:
+        z = z.astype(jnp.bfloat16)  # O(1)-range tail in bf16
+    h = jnp.maximum(z.dtype.type(0), z.dtype.type(1) - jnp.abs(z))
     return h.astype(dtype)
 
 
@@ -96,7 +107,10 @@ def _hat1_t(xd, r: int, dtype, rows: int | None = None):
     i = jax.lax.broadcasted_iota(
         jnp.int32, (rows if rows is not None else r, 1), 0
     ).astype(jnp.float32)
-    h = jnp.maximum(0.0, 1.0 - jnp.abs(xs[None, :] - i))
+    z = xs[None, :] - i  # fp32: O(R) operands
+    if HAT_BF16 and dtype != jnp.float32:
+        z = z.astype(jnp.bfloat16)
+    h = jnp.maximum(z.dtype.type(0), z.dtype.type(1) - jnp.abs(z))
     return h.astype(dtype)
 
 
