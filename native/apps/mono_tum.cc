@@ -654,6 +654,8 @@ int main(int argc, char** argv) {
   std::printf("median mapping time: %.2f ms (mean %.2f, %zu keyframe jobs)\n",
               mmed, mmean, tracker.mapping_ms().size());
   std::printf("max frames behind (kf queue depth): %zu\n", max_behind);
+  std::printf("mean association time: %.1f us\n",
+              tracker.mean_association_us());  // ref System.cc:329-334
   if (seq_s > 0)
     std::printf("real-time factor: %.2fx (%.1fs sequence in %.1fs wall)\n",
                 seq_s / wall_s, seq_s, wall_s);

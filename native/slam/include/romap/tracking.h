@@ -172,6 +172,11 @@ class Tracker {
   // median/mean tracking times; src/LocalMapping.cc:160-169 mapping) ---
   size_t QueueDepth();  // pending keyframes = how far mapping lags tracking
   std::vector<double> mapping_ms();  // per-MappingStep wall times
+  // mean object-pipeline (association) time per tracked frame, µs — the
+  // reference prints this at shutdown (ref src/System.cc:329-334)
+  double mean_association_us() const {
+    return assoc_frames_ ? assoc_us_total_ / assoc_frames_ : 0.0;
+  }
 
  private:
   Stamped MakeStamped(double timestamp) const;
@@ -229,6 +234,8 @@ class Tracker {
   std::deque<PendingKF> kf_queue_;
   bool mapping_finish_ = false;
   std::vector<double> mapping_ms_;  // guarded by queue_mutex_
+  double assoc_us_total_ = 0.0;  // tracking thread only
+  long assoc_frames_ = 0;
 
   // per-object creation-time viewing direction (for the angle trigger)
   std::map<ObjectMap*, Vec3, ById> first_view_dir_;

@@ -973,7 +973,14 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
   }
   state_ = State::kOk;
 
-  ObjectPipeline(instance);
+  {
+    auto a0 = std::chrono::steady_clock::now();
+    ObjectPipeline(instance);
+    assoc_us_total_ += std::chrono::duration<double, std::micro>(
+                           std::chrono::steady_clock::now() - a0)
+                           .count();
+    ++assoc_frames_;
+  }
 
   velocity_ = cur_.tcw * last_.tcw.inverse();
   has_velocity_ = true;
