@@ -130,6 +130,35 @@ def _mesh_metrics(obj_dir: str, dataset: str):
     }
 
 
+def _infer_instance_id(crops) -> int | None:
+    """Pick the dataset instance id this object dir corresponds to.
+
+    Online SLAM object ids need not match dataset instance ids (output dirs
+    are slot/creation order). When a bbox crop contains pixels of SEVERAL
+    instances, `inst > 0` would score this object's render against other
+    objects' ground-truth pixels too. Disambiguate by mask agreement: the
+    id whose GT mask best matches the predicted mask, summed over views.
+    Returns None when no view has a predicted mask (keeps the >0 fallback).
+    """
+    scores: dict[int, float] = {}
+    for _ren, msk, _gt, inst in crops:
+        if msk is None:
+            continue
+        pred = (msk if msk.ndim == 2 else msk[..., 0]) > 127
+        for iid in np.unique(inst):
+            if iid == 0:
+                continue
+            gt_px = inst == iid
+            union = (pred | gt_px).sum()
+            if union:
+                scores[int(iid)] = scores.get(int(iid), 0.0) + float(
+                    (pred & gt_px).sum()
+                ) / float(union)
+    if not scores:
+        return None
+    return max(scores, key=scores.get)
+
+
 def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
     """Metrics for one object's artifact dir. Returns dict or None."""
     manifest = os.path.join(obj_dir, "test.txt")
@@ -137,7 +166,7 @@ def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
         return None
     views = _read_manifest(manifest)
     stamp_map = _stamp_to_image(dataset)
-    psnrs, ssims, ious, view_stamps = [], [], [], []
+    crops, view_stamps_all = [], []
     for v in views:
         name = stamp_map.get(f"{float(v['stamp']):.6f}")
         if name is None:
@@ -153,6 +182,14 @@ def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
         inst = inst_full[y : y + h, x : x + w]
         if inst.ndim == 3:
             inst = inst[..., 0]
+        crops.append((ren, msk, gt, inst))
+        view_stamps_all.append(v["stamp"])
+    if instance_id is None and any(
+        len(np.unique(inst[inst > 0])) > 1 for _, _, _, inst in crops
+    ):
+        instance_id = _infer_instance_id(crops)
+    psnrs, ssims, ious, view_stamps = [], [], [], []
+    for (ren, msk, gt, inst), stamp in zip(crops, view_stamps_all):
         if instance_id is None:
             obj_px = inst > 0
         else:
@@ -162,7 +199,7 @@ def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
         renf = ren.astype(np.float32) / 255.0
         mse = float(np.mean((renf[obj_px] - gt[obj_px]) ** 2))
         psnrs.append(-10.0 * np.log10(max(mse, 1e-9)))
-        view_stamps.append(v["stamp"])
+        view_stamps.append(stamp)
         ga = renf[..., :3].mean(-1) * obj_px
         gb = gt[..., :3].mean(-1) * obj_px
         ssims.append(_ssim(ga, gb, obj_px))

@@ -54,3 +54,50 @@ def test_mesh_metric_scale_error(tmp_path):
 def test_mesh_metric_missing_inputs(tmp_path):
     os.makedirs(tmp_path / "empty")
     assert _mesh_metrics(str(tmp_path / "empty"), str(tmp_path)) == {}
+
+
+def _write_png(path, arr):
+    import cv2
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(str(path), arr)
+
+
+def test_evaluate_object_multi_instance_crop(tmp_path):
+    """A bbox crop containing TWO instances must be scored against the
+    instance this object actually renders (inferred by mask agreement),
+    not against every nonzero instance pixel."""
+    from romap_tpu.utils.eval_psnr import evaluate_object
+
+    ds = tmp_path / "ds"
+    obj = tmp_path / "out" / "0"
+    os.makedirs(obj)
+    os.makedirs(ds)
+    hgt, wid = 32, 32
+    # GT image: instance 1 fills the left half (dark), instance 2 the right
+    # half (bright)
+    rgb = np.zeros((hgt, wid, 3), np.uint8)
+    rgb[:, : wid // 2] = 60
+    rgb[:, wid // 2 :] = 180
+    inst = np.zeros((hgt, wid), np.uint8)
+    inst[:, : wid // 2] = 1
+    inst[:, wid // 2 :] = 2
+    _write_png(ds / "rgb" / "0.png", rgb)
+    _write_png(ds / "instance" / "0.png", inst)
+    with open(ds / "img.txt", "w") as f:
+        f.write("0.0 0.png\n")
+    # the object's render reproduces instance 2 exactly and its mask covers
+    # exactly instance 2's pixels
+    ren = np.full((hgt, wid, 3), 180, np.uint8)
+    msk = np.where(inst == 2, 255, 0).astype(np.uint8)
+    _write_png(obj / "test_img" / "0.0.png", ren)
+    _write_png(obj / "test_mask" / "0.0.png", msk)
+    with open(obj / "test.txt", "w") as f:
+        f.write(f"0.0 0 0 {hgt} {wid}\n")
+
+    m = evaluate_object(str(obj), str(ds))
+    assert m is not None
+    # against inst==2 the render is pixel-exact; against inst>0 it would be
+    # ~9 dB (half the pixels off by 120/255) with IoU 0.5
+    assert m["psnr_db"] > 50, m
+    assert m["mask_iou"] > 0.99, m
