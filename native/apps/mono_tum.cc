@@ -31,6 +31,7 @@
 #include <opencv2/imgproc.hpp>
 
 #include "monerf/nerf_manager.h"
+#include "romap/mesh_extents.h"
 #include "romap/tracking.h"
 
 using namespace romap;
@@ -185,18 +186,30 @@ void SaveKeyFrameTrajectoryTUM(
 }
 
 void SaveObjects(const std::string& path,
-                 const std::vector<Tracker::MapSnapshot::Obj>& objs) {
+                 const std::vector<Tracker::MapSnapshot::Obj>& objs,
+                 const std::map<long, std::array<float, 3>>& ext_override,
+                 const std::map<long, std::array<float, 3>>& center_off) {
   // ref System::SaveObjects src/System.cc:529-563: ID class t q a1 a2 a3
   std::ofstream f(path);
   for (const auto& o : objs) {
     SE3 two = o.t_obj_w.inverse();
     float q[4];
     RotToQuat(two.R, q);
+    float a1 = o.a1, a2 = o.a2, a3 = o.a3;
+    auto it = ext_override.find(o.id);
+    if (it != ext_override.end()) {
+      a1 = it->second[0];
+      a2 = it->second[1];
+      a3 = it->second[2];
+    }
+    auto co = center_off.find(o.id);
+    if (co != center_off.end())  // object-frame shift -> world
+      two.t += two.R * Vec3(co->second[0], co->second[1], co->second[2]);
     char buf[256];
     std::snprintf(buf, sizeof(buf),
                   "%ld %d %.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f %.6f\n",
                   o.id, o.cls, two.t[0], two.t[1], two.t[2], q[0], q[1], q[2],
-                  q[3], o.a1, o.a2, o.a3);
+                  q[3], a1, a2, a3);
     f << buf;
   }
 }
@@ -248,6 +261,10 @@ int main(int argc, char** argv) {
   int kf_serial = 0;
   std::map<long long, int> stamp_us_to_img;
   std::map<const ObjectMap*, int> nerf_idx;
+  // per-object training-volume half-widths (object frame, incl. every
+  // margin), recorded at CreateNeRF: the mesh-extent refinement below must
+  // reject axes whose mesh support is clipped by the training aabb itself
+  std::map<const ObjectMap*, std::array<float, 3>> nerf_aabb;
   // Dense-view mode (ROMAP_DENSE_VIEWS=1): ship EVERY tracked frame as NeRF
   // supervision, not just keyframes (the reference trains on keyframes only,
   // ref src/LocalMapping.cc:74-105 — this mode goes beyond it: ~3x the
@@ -352,10 +369,13 @@ int main(int argc, char** argv) {
            m[2] * obj->shape.a3}};
       int idx = static_cast<int>(
           mgr->CreateNeRF(obj->cls, ToMat4(obj->shape.t_obj_w), bb));
+      float aabb_scale = (obj->cls == 41 || obj->cls == 73) ? 1.2f : 1.1f;
       std::vector<std::array<int64_t, 5>> backlog;
       {
         std::lock_guard<std::mutex> alk(app_mu);
         nerf_idx[obj] = idx;
+        nerf_aabb[obj] = {aabb_scale * bb.max[0], aabb_scale * bb.max[1],
+                          aabb_scale * bb.max[2]};
         auto dp = dense_pending.find(obj);
         if (dp != dense_pending.end()) {
           backlog = std::move(dp->second);
@@ -561,13 +581,18 @@ int main(int argc, char** argv) {
     cv::imwrite(out_dir + "/frame.jpg", vis);
   };
 
+  // NeRF-refined cuboid half-extents + object-frame center shifts keyed by
+  // object id (filled after the final training waves, below); empty until
+  // shutdown so mid-run live dumps keep the pure-SLAM cuboids
+  std::map<long, std::array<float, 3>> nerf_ext;
+  std::map<long, std::array<float, 3>> nerf_center_off;
   auto dump_state = [&]() {
     // Snapshot() copies under the map mutex — safe against the live mapping
     // thread (BA rewrites poses/positions concurrently).
     Tracker::MapSnapshot s = tracker.Snapshot();
     SaveTrajectoryTUM(out_dir + "/FrameTrajectory.txt", s.trajectory);
     SaveKeyFrameTrajectoryTUM(out_dir + "/KeyFrameTrajectory.txt", s.keyframes);
-    SaveObjects(out_dir + "/objects.txt", s.objects);
+    SaveObjects(out_dir + "/objects.txt", s.objects, nerf_ext, nerf_center_off);
     FILE* f = std::fopen((out_dir + "/map_points.txt").c_str(), "w");
     if (!f) return;
     for (const Vec3& p : s.points)
@@ -805,6 +830,32 @@ int main(int argc, char** argv) {
                   obj->id, stamps.size(), video ? 1 : 0);
       mgr->RenderNeRFsTest(out_dir, nerf_idx[obj], stamps, boxes, twcs, radius,
                            video, &view_rgb, &view_mask);
+    }
+
+    // NeRF-refined cuboid extents (beyond the reference, see
+    // romap/mesh_extents.h; tracking_test measured the monocular depth
+    // axis z −18..−31% short). ROMAP_NERF_EXTENTS=0 restores pure-SLAM
+    // extents (reference parity) for A/B runs.
+    const char* ne = std::getenv("ROMAP_NERF_EXTENTS");
+    if (!(ne && ne[0] == '0')) {
+      for (ObjectMap* obj : tracker.map().Objects()) {
+        if (!obj->have_nerf || !nerf_idx.count(obj) || !nerf_aabb.count(obj))
+          continue;
+        monerf::MeshData mesh;
+        if (!mgr->GetMesh(nerf_idx[obj], &mesh)) continue;
+        std::array<float, 3> slam_ext = {obj->shape.a1, obj->shape.a2,
+                                         obj->shape.a3};
+        MeshExtentRefine r =
+            RefineExtentsFromMesh(mesh.verts, nerf_aabb[obj], slam_ext);
+        if (r.accepted == 0) continue;
+        nerf_ext[obj->id] = r.ext;
+        nerf_center_off[obj->id] = r.off;
+        std::printf(
+            "nerf extents: object %ld %.3f %.3f %.3f -> %.3f %.3f %.3f "
+            "(center shift %.3f %.3f %.3f, %d/3 axes from mesh)\n",
+            obj->id, slam_ext[0], slam_ext[1], slam_ext[2], r.ext[0], r.ext[1],
+            r.ext[2], r.off[0], r.off[1], r.off[2], r.accepted);
+      }
     }
   }
 

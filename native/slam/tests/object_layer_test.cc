@@ -7,6 +7,7 @@
 #include <random>
 
 #include "romap/eif.h"
+#include "romap/mesh_extents.h"
 #include "romap/object_frame.h"
 #include "romap/object_map.h"
 #include "romap/t_table.h"
@@ -282,6 +283,45 @@ int TestSilhouetteCenter() {
   return rc;
 }
 
+int TestMeshExtentRefine() {
+  // Dense box-surface mesh, half-extents (0.5, 0.4, 0.3), center shifted
+  // +0.1 along z, plus 1% far outliers the q01/q99 support must reject.
+  std::mt19937 rng(7);
+  std::uniform_real_distribution<float> u(-1.f, 1.f);
+  std::vector<float> verts;
+  const float he[3] = {0.5f, 0.4f, 0.3f};
+  for (int i = 0; i < 3000; ++i) {
+    float p[3] = {u(rng) * he[0], u(rng) * he[1], u(rng) * he[2]};
+    p[i % 3] = (i % 2 ? 1.f : -1.f) * he[i % 3];  // snap to a face
+    verts.insert(verts.end(), {p[0], p[1], p[2] + 0.1f});
+  }
+  for (int i = 0; i < 30; ++i)  // floater blobs far outside the object
+    verts.insert(verts.end(), {2.5f, -2.5f, 2.5f});
+  std::array<float, 3> aabb = {1.5f, 1.5f, 1.5f};
+  std::array<float, 3> slam = {0.45f, 0.45f, 0.2f};
+  MeshExtentRefine r = RefineExtentsFromMesh(verts, aabb, slam);
+  CHECK(r.accepted == 3);
+  CHECK(std::fabs(r.ext[0] - 0.5f) < 0.03f);
+  CHECK(std::fabs(r.ext[1] - 0.4f) < 0.03f);
+  CHECK(std::fabs(r.ext[2] - 0.3f) < 0.03f);  // depth axis recovered
+  CHECK(std::fabs(r.off[2] - 0.1f) < 0.03f);  // center shift recovered
+  CHECK(std::fabs(r.off[0]) < 0.03f && std::fabs(r.off[1]) < 0.03f);
+
+  // Axis clipped by the training volume -> falls back to the SLAM extent.
+  std::array<float, 3> tight = {1.5f, 1.5f, 0.40f};  // mesh hi 0.4 > 0.95*0.40
+  MeshExtentRefine rc2 = RefineExtentsFromMesh(verts, tight, slam);
+  CHECK(rc2.accepted == 2);
+  CHECK(std::fabs(rc2.ext[2] - slam[2]) < 1e-6f && rc2.off[2] == 0.f);
+
+  // Too few vertices -> reject everything.
+  std::vector<float> tiny(verts.begin(), verts.begin() + 3 * 50);
+  MeshExtentRefine rt = RefineExtentsFromMesh(tiny, aabb, slam);
+  CHECK(rt.accepted == 0);
+  std::printf("mesh extents: %.3f %.3f %.3f (off %.3f %.3f %.3f)\n",
+              r.ext[0], r.ext[1], r.ext[2], r.off[0], r.off[1], r.off[2]);
+  return 0;
+}
+
 }  // namespace
 
 int main() {
@@ -294,6 +334,7 @@ int main() {
   rc |= TestAssociationAndMerge();
   rc |= TestTTable();
   rc |= TestSilhouetteCenter();
+  rc |= TestMeshExtentRefine();
   if (rc == 0) std::printf("object_layer_test: ALL OK\n");
   return rc;
 }

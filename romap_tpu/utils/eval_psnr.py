@@ -229,6 +229,107 @@ def evaluate_object(obj_dir: str, dataset: str, instance_id: int | None = None):
     return out
 
 
+def _read_tum(path):
+    """TUM trajectory: stamp tx ty tz qx qy qz qw -> {stamp: position}."""
+    rows = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                p = line.split()
+                if len(p) < 4 or p[0].startswith("#"):
+                    continue
+                rows[f"{float(p[0]):.6f}"] = np.asarray(
+                    [float(x) for x in p[1:4]], np.float64)
+    except Exception:
+        return {}
+    return rows
+
+
+def _align_sim3(src: dict, dst: dict):
+    """Umeyama Sim(3) alignment of matched-by-stamp positions: returns
+    (s, R, t, ate_rmse, n) with dst ≈ s·R·src + t — the standard monocular
+    trajectory evaluation (scale is unobservable to a monocular SLAM)."""
+    common = sorted(set(src) & set(dst))
+    if len(common) < 3:
+        return None
+    a = np.stack([src[k] for k in common])
+    b = np.stack([dst[k] for k in common])
+    mu_a, mu_b = a.mean(0), b.mean(0)
+    am, bm = a - mu_a, b - mu_b
+    cov = bm.T @ am / len(common)
+    u, d, vt = np.linalg.svd(cov)
+    sgn = np.eye(3)
+    if np.linalg.det(u) * np.linalg.det(vt) < 0:
+        sgn[2, 2] = -1
+    rot = u @ sgn @ vt
+    var_a = float((am**2).sum()) / len(common)
+    if var_a <= 0:
+        return None
+    s = float(np.trace(np.diag(d) @ sgn)) / var_a
+    t = mu_b - s * rot @ mu_a
+    err = (s * (rot @ a.T).T + t) - b
+    ate = float(np.sqrt(np.mean(np.sum(err**2, axis=1))))
+    return s, rot, t, ate, len(common)
+
+
+def _trajectory_alignment(output_dir: str, dataset: str):
+    """Sim(3) from the run's FrameTrajectory.txt to dataset groundtruth.txt."""
+    src = _read_tum(os.path.join(output_dir, "FrameTrajectory.txt"))
+    dst = _read_tum(os.path.join(dataset, "groundtruth.txt"))
+    if not src or not dst:
+        return None
+    return _align_sim3(src, dst)
+
+
+def _cuboid_metrics(output_dir: str, dataset: str, align) -> dict:
+    """Score objects.txt cuboids (ref System::SaveObjects src/System.cc:
+    529-563 format: `id cls t q a1 a2 a3`) against the GT sidecar. Cuboids
+    live in the (scale-free) SLAM world, so they are transported into the
+    GT frame through the trajectory Sim(3) first; each row is then matched
+    to the nearest GT center. Reports center error and per-axis
+    half-extent / GT-radius ratios (spherical GT objects)."""
+    obj_path = os.path.join(output_dir, "objects.txt")
+    gt_path = os.path.join(dataset, "gt_objects.json")
+    if not (os.path.exists(obj_path) and os.path.exists(gt_path)):
+        return {}
+    try:
+        with open(gt_path) as f:
+            gt = {k: (np.asarray(v["center"], np.float64), float(v["radius"]))
+                  for k, v in json.load(f).items()}
+    except Exception:
+        return {}
+    if align is not None:
+        s, rot, t = align[0], align[1], align[2]
+    else:
+        s, rot, t = 1.0, np.eye(3), np.zeros(3)
+    rows = {}
+    with open(obj_path) as f:
+        for line in f:
+            p = line.split()
+            if len(p) < 12:
+                continue
+            center = s * rot @ np.asarray([float(x) for x in p[2:5]]) + t
+            ext = s * np.asarray([float(x) for x in p[9:12]])
+            gid = min(gt, key=lambda k: np.linalg.norm(gt[k][0] - center))
+            c_gt, r_gt = gt[gid]
+            rows[p[0]] = {
+                "gt_id": gid,
+                "center_err": round(float(np.linalg.norm(center - c_gt)), 4),
+                "ext": [round(float(e), 4) for e in ext],
+                "ext_ratio": [round(float(e / r_gt), 4) for e in ext],
+                "ext_err_max": round(float(np.max(np.abs(ext / r_gt - 1))), 4),
+            }
+    if not rows:
+        return {}
+    return {
+        "objects": rows,
+        "mean_center_err": round(
+            float(np.mean([r["center_err"] for r in rows.values()])), 4),
+        "mean_ext_err_max": round(
+            float(np.mean([r["ext_err_max"] for r in rows.values()])), 4),
+    }
+
+
 def evaluate_tree(output_dir: str, dataset: str) -> dict:
     results = {}
     for entry in sorted(os.listdir(output_dir)):
@@ -247,7 +348,18 @@ def evaluate_tree(output_dir: str, dataset: str) -> dict:
                 float(np.mean([m["mask_iou"] for m in results.values()
                                if m["mask_iou"] is not None] or [0])), 4),
         }
-    return {"objects": results, "aggregate": agg}
+    out = {"objects": results, "aggregate": agg}
+    align = _trajectory_alignment(output_dir, dataset)
+    if align is not None:
+        out["trajectory"] = {
+            "ate_m": round(align[3], 4),
+            "n_poses": align[4],
+            "scale": round(align[0], 4),
+        }
+    cub = _cuboid_metrics(output_dir, dataset, align)
+    if cub:
+        out["cuboids"] = cub
+    return out
 
 
 def main():

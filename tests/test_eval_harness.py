@@ -101,3 +101,47 @@ def test_evaluate_object_multi_instance_crop(tmp_path):
     # ~9 dB (half the pixels off by 120/255) with IoU 0.5
     assert m["psnr_db"] > 50, m
     assert m["mask_iou"] > 0.99, m
+
+
+def test_cuboid_metrics(tmp_path):
+    from romap_tpu.utils.eval_psnr import _cuboid_metrics
+
+    ds = tmp_path / "ds"
+    out = tmp_path / "out"
+    os.makedirs(ds)
+    os.makedirs(out)
+    with open(ds / "gt_objects.json", "w") as f:
+        json.dump({"0": {"center": [0, 0, 5], "radius": 0.5},
+                   "1": {"center": [3, 0, 5], "radius": 0.4}}, f)
+    with open(out / "objects.txt", "w") as f:
+        # id cls tx ty tz qx qy qz qw a1 a2 a3 — row 7 sits near GT 1,
+        # row 2 near GT 0 with a 20%-short z extent
+        f.write("2 60 0.05 0.0 5.0 0 0 0 1 0.5 0.5 0.4\n")
+        f.write("7 60 3.0 0.1 5.0 0 0 0 1 0.4 0.4 0.4\n")
+    m = _cuboid_metrics(str(out), str(ds), None)
+    assert m["objects"]["2"]["gt_id"] == "0"
+    assert m["objects"]["7"]["gt_id"] == "1"
+    assert abs(m["objects"]["2"]["center_err"] - 0.05) < 1e-3
+    assert abs(m["objects"]["2"]["ext_err_max"] - 0.2) < 1e-3
+    assert abs(m["objects"]["7"]["ext_err_max"]) < 1e-3
+    assert abs(m["mean_ext_err_max"] - 0.1) < 1e-3
+
+
+def test_sim3_alignment_recovers_scale():
+    from romap_tpu.utils.eval_psnr import _align_sim3
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(40, 3))
+    th = 0.7
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0],
+                    [0, 0, 1.0]])
+    s_true, t_true = 7.5, np.array([1.0, -2.0, 0.5])
+    src = {f"{i}.000000": p for i, p in enumerate(pts)}
+    dst = {f"{i}.000000": s_true * rot @ p + t_true
+           for i, p in enumerate(pts)}
+    s, r, t, ate, n = _align_sim3(src, dst)
+    assert n == 40
+    assert abs(s - s_true) < 1e-6
+    assert ate < 1e-9
+    assert np.allclose(r, rot, atol=1e-9)
