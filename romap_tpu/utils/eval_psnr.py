@@ -281,6 +281,64 @@ def _trajectory_alignment(output_dir: str, dataset: str):
     return _align_sim3(src, dst)
 
 
+def _read_tum_poses(path):
+    """TUM trajectory -> {stamp: (R, t)} full SE(3) (file stores qx qy qz qw)."""
+    rows = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                p = line.split()
+                if len(p) < 8 or p[0].startswith("#"):
+                    continue
+                t = np.asarray([float(x) for x in p[1:4]], np.float64)
+                qx, qy, qz, qw = (float(x) for x in p[4:8])
+                n = np.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+                if n == 0:
+                    continue
+                qx, qy, qz, qw = qx / n, qy / n, qz / n, qw / n
+                rot = np.array([
+                    [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+                     2 * (qx * qz + qy * qw)],
+                    [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+                     2 * (qy * qz - qx * qw)],
+                    [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+                     1 - 2 * (qx * qx + qy * qy)]])
+                rows[f"{float(p[0]):.6f}"] = (rot, t)
+    except Exception:
+        return {}
+    return rows
+
+
+def _rpe(output_dir: str, dataset: str, scale: float, delta: int = 1):
+    """TUM relative pose error (evaluate_rpe.py semantics) over consecutive
+    matched stamps: E = (Qi⁻¹Qj)⁻¹(Pi⁻¹Pj) with the estimate's translations
+    pre-scaled by the trajectory Sim(3) scale (monocular scale is gauge).
+    Returns (trans_rmse_m, rot_mean_deg, n_pairs) or None."""
+    est = _read_tum_poses(os.path.join(output_dir, "FrameTrajectory.txt"))
+    gt = _read_tum_poses(os.path.join(dataset, "groundtruth.txt"))
+    common = sorted(set(est) & set(gt))
+    if len(common) < delta + 1:
+        return None
+    terr, rerr = [], []
+    for i in range(len(common) - delta):
+        a, b = common[i], common[i + delta]
+        rp_a, tp_a = est[a][0], scale * est[a][1]
+        rp_b, tp_b = est[b][0], scale * est[b][1]
+        rq_a, tq_a = gt[a]
+        rq_b, tq_b = gt[b]
+        # relative motions P = Pa⁻¹Pb, Q = Qa⁻¹Qb, then E = Q⁻¹P
+        rp = rp_a.T @ rp_b
+        tp = rp_a.T @ (tp_b - tp_a)
+        rq = rq_a.T @ rq_b
+        tq = rq_a.T @ (tq_b - tq_a)
+        re = rq.T @ rp
+        te = rq.T @ (tp - tq)
+        terr.append(float(te @ te))
+        cosang = np.clip((np.trace(re) - 1.0) / 2.0, -1.0, 1.0)
+        rerr.append(float(np.degrees(np.arccos(cosang))))
+    return (float(np.sqrt(np.mean(terr))), float(np.mean(rerr)), len(terr))
+
+
 def _cuboid_metrics(output_dir: str, dataset: str, align) -> dict:
     """Score objects.txt cuboids (ref System::SaveObjects src/System.cc:
     529-563 format: `id cls t q a1 a2 a3`) against the GT sidecar. Cuboids
@@ -356,6 +414,10 @@ def evaluate_tree(output_dir: str, dataset: str) -> dict:
             "n_poses": align[4],
             "scale": round(align[0], 4),
         }
+        rpe = _rpe(output_dir, dataset, align[0])
+        if rpe is not None:
+            out["trajectory"]["rpe_trans_m"] = round(rpe[0], 4)
+            out["trajectory"]["rpe_rot_deg"] = round(rpe[1], 4)
     cub = _cuboid_metrics(output_dir, dataset, align)
     if cub:
         out["cuboids"] = cub

@@ -127,6 +127,52 @@ def test_cuboid_metrics(tmp_path):
     assert abs(m["mean_ext_err_max"] - 0.1) < 1e-3
 
 
+def test_rpe(tmp_path):
+    from romap_tpu.utils.eval_psnr import _align_sim3, _rpe, _read_tum
+
+    # circular GT trajectory; estimate = same motion in a Sim(3)-shifted
+    # gauge (scale 3, yaw 0.5) -> RPE must vanish once scale-corrected
+    def write(path, rows):
+        with open(path, "w") as f:
+            for st, t, q in rows:
+                f.write(f"{st:.6f} {t[0]} {t[1]} {t[2]} "
+                        f"{q[0]} {q[1]} {q[2]} {q[3]}\n")
+
+    def yaw_quat(a):  # qx qy qz qw about +z
+        return (0.0, 0.0, np.sin(a / 2), np.cos(a / 2))
+
+    gt_rows, est_rows = [], []
+    s, phi = 3.0, 0.5
+    rot_g = np.array([[np.cos(phi), -np.sin(phi), 0],
+                      [np.sin(phi), np.cos(phi), 0], [0, 0, 1.0]])
+    for i in range(30):
+        a = 0.2 * i
+        t = np.array([np.cos(a), np.sin(a), 0.1 * i])
+        gt_rows.append((float(i), t, yaw_quat(a)))
+        qe = yaw_quat(a + phi)
+        est_rows.append((float(i), s * rot_g @ t, qe))
+    ds = tmp_path / "ds"
+    out = tmp_path / "out"
+    os.makedirs(ds)
+    os.makedirs(out)
+    write(ds / "groundtruth.txt", gt_rows)
+    write(out / "FrameTrajectory.txt", est_rows)
+    align = _align_sim3(_read_tum(out / "FrameTrajectory.txt"),
+                        _read_tum(ds / "groundtruth.txt"))
+    assert abs(align[0] - 1.0 / s) < 1e-9  # est -> gt shrinks by 1/s
+    tr, rd, n = _rpe(str(out), str(ds), align[0])
+    assert n == 29
+    assert tr < 1e-9 and rd < 1e-7
+
+    # inject a 0.05 m hop at one frame: RPE localizes it (2 affected pairs)
+    est_rows[10] = (10.0, est_rows[10][1] + s * np.array([0.05, 0, 0]),
+                    est_rows[10][2])
+    write(out / "FrameTrajectory.txt", est_rows)
+    tr, rd, n = _rpe(str(out), str(ds), align[0])
+    assert abs(tr - np.sqrt(2 * 0.05**2 / 29)) < 1e-6
+    assert rd < 1e-7
+
+
 def test_sim3_alignment_recovers_scale():
     from romap_tpu.utils.eval_psnr import _align_sim3
 
