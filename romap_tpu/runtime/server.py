@@ -42,6 +42,8 @@ import os
 import socket
 import struct
 import sys
+import threading
+import time
 
 import numpy as np
 
@@ -97,6 +99,49 @@ class RuntimeServer:
         self.mgr: NerfManagerOnline | None = None
         self._h = self._w = 0
         self._running = True
+        # Device-stall watchdog (failure detection the reference lacks —
+        # its CUDA calls are in-process; here a remote-device tunnel can
+        # hang a jax call indefinitely, silently wedging the whole
+        # pipeline in one opcode). Warn after ROMAP_WATCHDOG_S (default
+        # 600 s — WAIT_END/RENDER_TEST legitimately run minutes on TPU),
+        # escalate each further threshold; ROMAP_WATCHDOG_FATAL=1 kills
+        # the process at 2x so the client's recv fails fast instead of
+        # blocking forever.
+        self._watchdog_s = float(os.environ.get("ROMAP_WATCHDOG_S", "600"))
+        self._watchdog_fatal = os.environ.get("ROMAP_WATCHDOG_FATAL") == "1"
+        self._inflight: tuple[int, float] | None = None  # (op, start time)
+        self._warned_at = 0.0
+
+    def _watchdog_check(self, now: float) -> str | None:
+        """One watchdog poll: a warning line if the in-flight op crossed
+        the stall threshold (re-warns each further threshold), else None.
+        Returns the string rather than printing so tests can drive it."""
+        snap = self._inflight
+        if snap is None or self._watchdog_s <= 0:
+            return None
+        op, t0 = snap
+        dt = now - t0
+        if dt < self._watchdog_s or now - self._warned_at < self._watchdog_s:
+            return None
+        self._warned_at = now
+        name = next((k for k, v in OPS.items() if v == op), str(op))
+        return (f"WATCHDOG: opcode {name} in flight for {dt:.0f}s "
+                f"(threshold {self._watchdog_s:.0f}s) — device tunnel may "
+                f"be stalled")
+
+    def _watchdog_loop(self) -> None:
+        while self._running:
+            time.sleep(min(30.0, max(1.0, self._watchdog_s / 4)))
+            now = time.monotonic()
+            msg = self._watchdog_check(now)
+            if msg:
+                print(msg, file=sys.stderr, flush=True)
+                snap = self._inflight
+                if (self._watchdog_fatal and snap is not None
+                        and now - snap[1] >= 2 * self._watchdog_s):
+                    print("WATCHDOG: fatal — exiting so clients unblock",
+                          file=sys.stderr, flush=True)
+                    os._exit(86)
 
     # ---------------------------------------------------------------- ops
     def handle(self, op: int, payload: bytes) -> bytes:
@@ -210,6 +255,7 @@ class RuntimeServer:
         srv.bind(sock_path)
         srv.listen(1)
         print(f"READY {sock_path}", flush=True)
+        threading.Thread(target=self._watchdog_loop, daemon=True).start()
         while self._running:
             conn, _ = srv.accept()
             try:
@@ -217,6 +263,7 @@ class RuntimeServer:
                     head = _recv_exact(conn, 8)
                     op, n = struct.unpack("<II", head)
                     payload = _recv_exact(conn, n) if n else b""
+                    self._inflight = (op, time.monotonic())
                     try:
                         reply = self.handle(op, payload)
                         conn.sendall(struct.pack("<II", 0, len(reply)) + reply)
@@ -225,6 +272,8 @@ class RuntimeServer:
                         conn.sendall(struct.pack("<II", 1, len(msg)) + msg)
                         if op == OPS["SHUTDOWN"]:
                             raise
+                    finally:
+                        self._inflight = None
             except (ConnectionError, OSError):
                 pass
             finally:

@@ -62,3 +62,28 @@ def test_cpp_manager_smoke(tmp_path):
             server.wait(timeout=10)
         except subprocess.TimeoutExpired:
             server.kill()
+
+
+def test_watchdog_stall_detection(monkeypatch):
+    """The device-stall watchdog flags an op stuck past its threshold,
+    re-warns once per further threshold, and stays silent otherwise."""
+    monkeypatch.setenv("ROMAP_WATCHDOG_S", "10")
+    from romap_tpu.runtime.server import OPS, RuntimeServer
+
+    srv = RuntimeServer.__new__(RuntimeServer)
+    srv._running = True
+    srv._watchdog_s = 10.0
+    srv._watchdog_fatal = False
+    srv._inflight = None
+    srv._warned_at = 0.0
+
+    assert srv._watchdog_check(100.0) is None  # idle
+    srv._inflight = (OPS["WAIT_END"], 100.0)
+    assert srv._watchdog_check(105.0) is None  # under threshold
+    msg = srv._watchdog_check(111.0)
+    assert msg is not None and "WAIT_END" in msg and "11s" in msg
+    assert srv._watchdog_check(115.0) is None  # already warned this window
+    msg2 = srv._watchdog_check(122.0)  # next threshold crossing
+    assert msg2 is not None
+    srv._inflight = None
+    assert srv._watchdog_check(200.0) is None  # op completed
