@@ -278,6 +278,7 @@ int main(int argc, char** argv) {
   if (const char* dh = std::getenv("ROMAP_DENSE_HOLDOUT"))
     dense_holdout = std::max(2, std::atoi(dh));
   std::mutex app_mu;  // guards kf_serial / stamp_us_to_img / dense_pending
+  int app_gen = 0;    // bumped by map reset (also under app_mu)
   std::map<const ObjectMap*, std::vector<std::array<int64_t, 5>>>
       dense_pending;  // bbox rows observed before the object's NeRF exists
   int dense_serial = 0;
@@ -295,6 +296,7 @@ int main(int argc, char** argv) {
     // (object, row) pairs; resolved to nerf indices at send time
     std::vector<std::pair<const ObjectMap*, std::array<int64_t, 5>>> rows;
     int fixed_idx = -1;  // rows-only jobs: send to this nerf index
+    int gen = 0;  // map generation at enqueue: a reset orphans the rows
   };
   std::deque<DenseJob> dense_q;
   std::mutex dense_mu;
@@ -367,15 +369,14 @@ int main(int argc, char** argv) {
            -m[2] * obj->shape.a3},
           {m[0] * obj->shape.a1, m[1] * obj->shape.a2,
            m[2] * obj->shape.a3}};
-      int idx = static_cast<int>(
-          mgr->CreateNeRF(obj->cls, ToMat4(obj->shape.t_obj_w), bb));
-      float aabb_scale = (obj->cls == 41 || obj->cls == 73) ? 1.2f : 1.1f;
+      float aabb_half[3];  // actual training volume, runtime inflation incl.
+      int idx = static_cast<int>(mgr->CreateNeRF(
+          obj->cls, ToMat4(obj->shape.t_obj_w), bb, aabb_half));
       std::vector<std::array<int64_t, 5>> backlog;
       {
         std::lock_guard<std::mutex> alk(app_mu);
         nerf_idx[obj] = idx;
-        nerf_aabb[obj] = {aabb_scale * bb.max[0], aabb_scale * bb.max[1],
-                          aabb_scale * bb.max[2]};
+        nerf_aabb[obj] = {aabb_half[0], aabb_half[1], aabb_half[2]};
         auto dp = dense_pending.find(obj);
         if (dp != dense_pending.end()) {
           backlog = std::move(dp->second);
@@ -437,6 +438,7 @@ int main(int argc, char** argv) {
           if (stamp_us_to_img.count(us)) return;  // already uploaded
           job.img_id = kf_serial++;
           stamp_us_to_img[us] = job.img_id;
+          job.gen = app_gen;
         }
         job.us = us;
         char st[64];
@@ -488,6 +490,7 @@ int main(int argc, char** argv) {
             {
               std::lock_guard<std::mutex> alk(app_mu);
               if (idx < 0) {
+                if (job.gen != app_gen) continue;  // reset orphaned this obj
                 auto ni = nerf_idx.find(obj);
                 if (ni != nerf_idx.end()) idx = ni->second;
                 else dense_pending[obj].push_back(row);
@@ -511,8 +514,15 @@ int main(int argc, char** argv) {
       });
     }
     tracker.hooks.on_reset = [&] {
-      // early-loss map reset invalidates every ObjectMap*/stamp we cached
+      // early-loss map reset invalidates every ObjectMap*/stamp we cached;
+      // clear under app_mu (the dense worker reads these concurrently) and
+      // drop pending backlogs too — a post-reset object allocated at a
+      // freed ObjectMap*'s address must not inherit the dead one's rows
+      std::lock_guard<std::mutex> alk(app_mu);
+      ++app_gen;
       nerf_idx.clear();
+      nerf_aabb.clear();
+      dense_pending.clear();
     };
     tracker.hooks.update_poses =
         [&](const std::vector<std::pair<double, SE3>>& refined) {

@@ -65,8 +65,12 @@ class NerfManagerOnline {
   void UpdateDataset(unsigned int cur_id, unsigned int frame_num,
                      const std::vector<Mat4>& poses);
 
-  // ref CreateNeRF(Class, ObjTow, BoundingBox) -> object index
-  std::size_t CreateNeRF(int cls, const Mat4& obj_tow, const BoundingBox& box);
+  // ref CreateNeRF(Class, ObjTow, BoundingBox) -> object index. If
+  // aabb_half is non-null it receives the object's ACTUAL training-volume
+  // half-widths (runtime-side inflation included) — the runtime owns the
+  // inflation policy, callers must not re-derive it.
+  std::size_t CreateNeRF(int cls, const Mat4& obj_tow, const BoundingBox& box,
+                         float* aabb_half = nullptr);
 
   // ref UpdateNeRFBbox(idx, vFrameBbox, train_step)
   void UpdateNeRFBbox(std::size_t idx, const std::vector<FrameIdAndBbox>& boxes,

@@ -254,9 +254,9 @@ int SearchByBruteForce(Frame& cur, const KeyFrame& kf, int max_dist) {
     // ratio test + better-owner check
     if (best_idx < 0 || best > static_cast<int>(0.75f * best2)) continue;
     if (best >= owner[best_idx]) continue;
+    if (owner[best_idx] > max_dist) ++n;  // a steal replaces, not adds
     owner[best_idx] = best;
     cur.points[best_idx] = p;
-    ++n;
   }
   return n;
 }
@@ -290,9 +290,9 @@ int SearchByBow(Frame& cur, const std::vector<int>& cur_words,
     }
     if (best_idx < 0 || best > static_cast<int>(0.75f * best2)) continue;
     if (best >= owner[best_idx]) continue;
+    if (owner[best_idx] > max_dist) ++n;  // a steal replaces, not adds
     owner[best_idx] = best;
     cur.points[best_idx] = p;
-    ++n;
   }
   return n;
 }

@@ -443,8 +443,16 @@ void ObjectMap::EstimateShape() {
       // enough near-transverse views: the silhouette bound carries the
       // full extent (incl. surface regions ORB never triangulates) where
       // the cloud is biased short. The cloud is a physical LOWER bound
-      // (triangulated points exist at those coordinates), so take the max.
-      ext[a] = std::max(ext[a], sil[a]);
+      // (triangulated points exist at those coordinates), so take the max
+      // — but only inside the promised sanity band: a silhouette >1.6x
+      // the cloud extent means the detector boxes likely span an occluder
+      // or a neighbor, so keep the cloud value and drop the tight flag
+      // (downstream then keeps the cautious 1.8x NeRF margin).
+      if (ext[a] > 0.0f && sil[a] <= 1.6f * ext[a]) {
+        ext[a] = std::max(ext[a], sil[a]);
+      } else {
+        tight[a] = false;
+      }
     }
     shape.ext_tight[a] = tight[a];
     if (std::getenv("ROMAP_EXT_DEBUG"))

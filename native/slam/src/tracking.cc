@@ -197,20 +197,37 @@ bool Tracker::Relocalize() {
     cur_words = voc_.WordsOf(cur_.descriptors);
   }
   bool bow = !kfs.empty();
+  KeyFrame* recency_supplement = nullptr;
   if (!bow) {  // cold vocabulary: fall back to the recent keyframes
     auto recent = map_.KeyFrames();
     for (auto it = recent.rbegin();
          it != recent.rend() && kfs.size() < kMaxCandidates; ++it)
       kfs.push_back(*it);
+  } else {
+    // always keep the most recent keyframe as a candidate: in a
+    // perceptually aliased scene the BoW votes can all select far-away
+    // look-alikes, while the nearest keyframe is the likeliest recovery
+    auto recent = map_.KeyFrames();
+    for (auto it = recent.rbegin(); it != recent.rend(); ++it) {
+      if ((*it)->bad) continue;
+      recency_supplement = *it;
+      if (std::find(kfs.begin(), kfs.end(), *it) == kfs.end())
+        kfs.push_back(*it);
+      break;
+    }
   }
   for (KeyFrame* kf : kfs) {
     std::fill(cur_.points.begin(), cur_.points.end(), nullptr);
     int n = bow ? SearchByBow(cur_, cur_words, *kf)
                 : SearchByBruteForce(cur_, *kf);
-    if (bow && n < 15) {
+    if (bow && n < 15 && (kf == kfs.front() || kf == recency_supplement)) {
       // word quantization can starve matches on a true candidate — the
       // reference widens with SearchByProjection; one brute pass on the
-      // top-voted keyframe serves the same rescue role
+      // top-voted keyframe (and the recency supplement) serves the same
+      // rescue role with bounded per-lost-frame cost. Restart from a
+      // clean slate: mixing bow and brute assignments would let a worse
+      // brute match silently displace a bow match.
+      std::fill(cur_.points.begin(), cur_.points.end(), nullptr);
       n = SearchByBruteForce(cur_, *kf);
     }
     if (n < 15) continue;

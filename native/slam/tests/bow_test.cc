@@ -165,19 +165,29 @@ int main() {
   cur.points.assign(250, nullptr);
   cur.outlier.assign(250, false);
   std::vector<int> cur_words = bigvoc.WordsOf(cur.descriptors);
-  auto t0 = std::chrono::steady_clock::now();
-  int n_bow = SearchByBow(cur, cur_words, mkf);
-  auto t1 = std::chrono::steady_clock::now();
-  std::fill(cur.points.begin(), cur.points.end(), nullptr);
-  int n_bf = SearchByBruteForce(cur, mkf);
-  auto t2 = std::chrono::steady_clock::now();
-  double ms_bow = std::chrono::duration<double, std::milli>(t1 - t0).count();
-  double ms_bf = std::chrono::duration<double, std::milli>(t2 - t1).count();
+  // time best-of-5 (min is robust to scheduler preemption on a loaded box;
+  // a single-sample strict ordering flaked)
+  int n_bow = 0, n_bf = 0;
+  double ms_bow = 1e30, ms_bf = 1e30;
+  for (int rep = 0; rep < 5; ++rep) {
+    std::fill(cur.points.begin(), cur.points.end(), nullptr);
+    auto t0 = std::chrono::steady_clock::now();
+    n_bow = SearchByBow(cur, cur_words, mkf);
+    auto t1 = std::chrono::steady_clock::now();
+    std::fill(cur.points.begin(), cur.points.end(), nullptr);
+    int nb = SearchByBruteForce(cur, mkf);
+    auto t2 = std::chrono::steady_clock::now();
+    n_bf = nb;
+    ms_bow = std::min(
+        ms_bow, std::chrono::duration<double, std::milli>(t1 - t0).count());
+    ms_bf = std::min(
+        ms_bf, std::chrono::duration<double, std::milli>(t2 - t1).count());
+  }
   std::printf("reloc match: bow %d (%.2f ms) vs brute %d (%.2f ms)\n",
               n_bow, ms_bow, n_bf, ms_bf);
   CHECK(n_bow >= n_bf * 3 / 4);   // near-parity recall
   CHECK(n_bow >= 100);
-  CHECK(ms_bow < ms_bf);          // and strictly cheaper
+  CHECK(ms_bow < ms_bf);          // and strictly cheaper (best-of-5)
 
   std::printf("bow_test: ALL OK\n");
   return 0;

@@ -78,14 +78,22 @@ void NerfManagerOnline::UpdateDataset(unsigned int cur_id,
 }
 
 std::size_t NerfManagerOnline::CreateNeRF(int cls, const Mat4& obj_tow,
-                                          const BoundingBox& box) {
+                                          const BoundingBox& box,
+                                          float* aabb_half) {
   Writer w;
   w.i32(cls);
   w.bytes(obj_tow.m, sizeof(obj_tow.m));
   w.bytes(box.min, sizeof(box.min));
   w.bytes(box.max, sizeof(box.max));
   Reader r = client_->call(Op::kCreateNerf, w);
-  return static_cast<std::size_t>(r.i32());
+  std::size_t idx = static_cast<std::size_t>(r.i32());
+  float half[3] = {r.f32(), r.f32(), r.f32()};
+  if (aabb_half) {
+    aabb_half[0] = half[0];
+    aabb_half[1] = half[1];
+    aabb_half[2] = half[2];
+  }
+  return idx;
 }
 
 void NerfManagerOnline::UpdateNeRFBbox(std::size_t idx,

@@ -210,6 +210,13 @@ class NerfManagerOnline:
             self._objs["active"][idx] = False
             return idx
 
+    def aabb_half(self, idx: int) -> np.ndarray:
+        """The object's actual training-volume half-widths (object frame,
+        inflation included) — the single source of truth for anything that
+        must reason about the field volume (e.g. mesh-support clipping)."""
+        with self._lock:
+            return np.array(self._objs["aabb_max"][idx], np.float32)
+
     def _wait_idle_locked(self) -> None:
         """Block (lock held via the condition) until no wave is in flight."""
         while self._train_busy:
@@ -223,19 +230,41 @@ class NerfManagerOnline:
         thread-safe."""
         try:
             with self._lock:
-                frames = self.store.arrays()
-            struct = lambda t: jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), t
+                # same sharding as _frames() so this never flips the
+                # store's placement cache (a None-sharded call would force
+                # two full-store device re-uploads around the next wave)
+                frames = self.store.arrays(
+                    sharding=shardlib.replicated(self.mesh)
+                )
+                # the mesh _grow will pick for this capacity — the AOT
+                # signature must carry the REAL input shardings or the
+                # warmed executable misses the jit cache at wave time
+                future_mesh = (
+                    self.mesh if self._mesh_arg is not None
+                    else shardlib.make_mesh(math.gcd(cap, len(jax.devices())))
+                )
+            obj_sh = shardlib.object_sharding(future_mesh)
+            rep_sh = shardlib.replicated(future_mesh)
+            struct = lambda t, sh: jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(
+                    np.shape(x), x.dtype, sharding=sh), t
             )
-            state_s = jax.eval_shape(
-                lambda k: nerf.init_train_state(k, cap, self.cfg, self.spec),
-                jax.random.PRNGKey(0),
+            state_s = struct(
+                jax.eval_shape(
+                    lambda k: nerf.init_train_state(
+                        k, cap, self.cfg, self.spec),
+                    jax.random.PRNGKey(0),
+                ),
+                obj_sh,
             )
-            objs_s = jax.eval_shape(
-                lambda: nerf.empty_objects(cap, self._max_bboxes)
+            objs_s = struct(
+                jax.eval_shape(
+                    lambda: nerf.empty_objects(cap, self._max_bboxes)
+                ),
+                obj_sh,
             )
             nerf.train_objects.lower(
-                state_s, objs_s, struct(frames), self.cfg, self.spec,
+                state_s, objs_s, struct(frames, rep_sh), self.cfg, self.spec,
                 self.iters_per_wave, self.use_depth,
             ).compile()
         except Exception as e:  # noqa: BLE001 — warm-up is best-effort

@@ -16,7 +16,9 @@ Opcodes (keep in sync with native/include/monerf/ipc.h):
   3 NEW_FRAME     i32 img_id, u16 slen, stamp, u8 has_depth,
                   u8 rgb[h*w*3], u8 instance[h*w], (f32 depth[h*w]),
                   f32 pose[16] row-major
-  4 CREATE_NERF   i32 cls, f32 tow[16], f32 bbmin[3], f32 bbmax[3] -> i32 idx
+  4 CREATE_NERF   i32 cls, f32 tow[16], f32 bbmin[3], f32 bbmax[3]
+                  -> i32 idx, f32 aabb_half[3] (actual training-volume
+                  half-widths, inflation included — single source of truth)
   5 UPDATE_BBOX   i32 idx, i32 train_step, i32 n, i32 rows[n*5]
   6 GET_FRAME_IDX u16 slen, stamp -> i32 idx
   7 WAIT_END      -> ack
@@ -182,7 +184,8 @@ class RuntimeServer:
             bbmin = r.take_array(np.float32, 3)
             bbmax = r.take_array(np.float32, 3)
             idx = self.mgr.create_nerf(cls, tow, bbmin, bbmax)
-            return struct.pack("<i", idx)
+            half = self.mgr.aabb_half(idx)
+            return struct.pack("<ifff", idx, *half)
         if op == OPS["UPDATE_BBOX"]:
             idx, train_step, n = r.take("iii")
             rows = r.take_array(np.int32, n * 5).reshape(n, 5)
