@@ -26,11 +26,44 @@ BASELINE_OBJ_ITERS_PER_SEC = 500.0  # RTX-4090 estimate, see module docstring
 N_OBJECTS = int(os.environ.get("ROMAP_BENCH_OBJECTS", "10"))
 
 
+def _device_probe(timeout_s: float = 180.0) -> None:
+    """Fail fast with a diagnosable error if the device tunnel is dead.
+
+    The remote-TPU relay can hang a jax call indefinitely (observed:
+    multi-hour stalls); without this, the bench blocks forever in its
+    first device op instead of reporting anything. A trivial op in a
+    watchdog-guarded thread bounds the wait (generous: first contact over
+    the relay legitimately takes tens of seconds)."""
+    import threading
+
+    import jax.numpy as jnp
+
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def probe() -> None:
+        try:
+            jax.device_get(jnp.ones(4) + 1)
+        except BaseException as e:  # noqa: BLE001 — reported below
+            err.append(e)
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"bench: device probe did not answer within {timeout_s:.0f}s "
+              "— device tunnel stalled, aborting", file=sys.stderr)
+        os._exit(86)
+    if err:
+        raise err[0]
+
+
 def main() -> None:
     from romap_tpu.config import NerfConfig
     from romap_tpu.data.world import build_synthetic_world
     from romap_tpu.models import nerf
 
+    _device_probe()
     cfg = NerfConfig()
     spec = nerf.make_field_spec(cfg)
     _, _, _, store, objs = build_synthetic_world(
