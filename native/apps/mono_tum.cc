@@ -691,6 +691,15 @@ int main(int argc, char** argv) {
   std::printf("max frames behind (kf queue depth): %zu\n", max_behind);
   std::printf("mean association time: %.1f us\n",
               tracker.mean_association_us());  // ref System.cc:329-334
+  {
+    auto sp = tracker.stage_split();
+    if (sp.frames > 0)
+      std::printf(
+          "tracking split (mean ms/frame): build %.1f, match %.1f, "
+          "objects %.1f, keyframe %.1f\n",
+          sp.build / sp.frames / 1e3, sp.match / sp.frames / 1e3,
+          sp.objects / sp.frames / 1e3, sp.keyframe / sp.frames / 1e3);
+  }
   if (seq_s > 0)
     std::printf("real-time factor: %.2fx (%.1fs sequence in %.1fs wall)\n",
                 seq_s / wall_s, seq_s, wall_s);

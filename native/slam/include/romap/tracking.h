@@ -177,6 +177,17 @@ class Tracker {
   double mean_association_us() const {
     return assoc_frames_ ? assoc_us_total_ / assoc_frames_ : 0.0;
   }
+  // per-stage tracking split (µs totals over `frames` Track calls):
+  // build = ORB + LSD + frame assembly; match = pose tracking (motion
+  // model / ref-KF / reloc + local map); objects = association pipeline;
+  // keyframe = creation + (sync-mode) mapping step. Beyond the
+  // reference's single tracking median — pinpoints WHERE a frame budget
+  // went when the real-time factor slips.
+  struct StageSplit {
+    double build = 0, match = 0, objects = 0, keyframe = 0;
+    long frames = 0;
+  };
+  StageSplit stage_split() const { return stages_; }
 
  private:
   Stamped MakeStamped(double timestamp) const;
@@ -236,6 +247,7 @@ class Tracker {
   std::vector<double> mapping_ms_;  // guarded by queue_mutex_
   double assoc_us_total_ = 0.0;  // tracking thread only
   long assoc_frames_ = 0;
+  StageSplit stages_;  // tracking thread only
 
   // per-object creation-time viewing direction (for the angle trigger)
   std::map<ObjectMap*, Vec3, ById> first_view_dir_;

@@ -974,7 +974,15 @@ void Tracker::FinalizeObjects() {
 std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
                                   const std::vector<Detection>& detections,
                                   double timestamp, const cv::Mat& rgb) {
+  using Clock = std::chrono::steady_clock;
+  auto us_since = [](Clock::time_point t0) {
+    return std::chrono::duration<double, std::micro>(Clock::now() - t0)
+        .count();
+  };
+  ++stages_.frames;
+  auto b0 = Clock::now();
   BuildFrame(gray, instance, detections, timestamp);
+  stages_.build += us_since(b0);
 
   std::unique_lock<std::mutex> maplk(map_mutex_, std::defer_lock);
   if (mapping_async_) maplk.lock();
@@ -990,6 +998,7 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
   }
 
   bool ok;
+  auto m0 = Clock::now();
   if (state_ == State::kLost) {
     ok = Relocalize();
     if (ok) has_velocity_ = false;  // stale velocity after a gap
@@ -998,6 +1007,7 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
     if (!ok) ok = TrackReferenceKeyFrame();
   }
   if (ok) ok = TrackLocalMap();
+  stages_.match += us_since(m0);
   if (std::getenv("ROMAP_SLAM_DEBUG")) {
     int tracked = 0;
     for (size_t i = 0; i < cur_.points.size(); ++i)
@@ -1023,9 +1033,11 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
   {
     auto a0 = std::chrono::steady_clock::now();
     ObjectPipeline(instance);
-    assoc_us_total_ += std::chrono::duration<double, std::micro>(
-                           std::chrono::steady_clock::now() - a0)
-                           .count();
+    double a_us = std::chrono::duration<double, std::micro>(
+                      std::chrono::steady_clock::now() - a0)
+                      .count();
+    assoc_us_total_ += a_us;
+    stages_.objects += a_us;
     ++assoc_frames_;
   }
 
@@ -1034,6 +1046,7 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
   ++frames_since_kf_;
   bool made_kf = false;
   if (NeedKeyFrame()) {
+    auto k0 = Clock::now();
     KeyFrame* kf = MakeKeyFrame(rgb, instance);
     last_kf_ = kf;
     frames_since_kf_ = 0;
@@ -1047,6 +1060,7 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
     } else {
       MappingStep(kf, rgb, instance, cur_.lines);
     }
+    stages_.keyframe += us_since(k0);
   }
   trajectory_.push_back(MakeStamped(timestamp));
   last_ = cur_;

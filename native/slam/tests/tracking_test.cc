@@ -313,6 +313,15 @@ int main(int argc, char** argv) {
   CHECK(frame_hook_obs > frame_hooks / 2);
   CHECK(frame_hook_imgs_ok);
 
+  {
+    auto sp = tracker.stage_split();
+    if (sp.frames > 0)
+      std::printf(
+          "tracking split (mean ms/frame): build %.1f, match %.1f, "
+          "objects %.1f, keyframe %.1f\n",
+          sp.build / sp.frames / 1e3, sp.match / sp.frames / 1e3,
+          sp.objects / sp.frames / 1e3, sp.keyframe / sp.frames / 1e3);
+  }
   std::printf("tracking_test: ALL OK\n");
   return 0;
 }
