@@ -64,6 +64,12 @@ class EncodingConfig:
     # "auto": fused Pallas kernel on TPU, chunked XLA elsewhere;
     # "pallas" / "xla" force an implementation.
     mx_impl: str = "auto"
+    # hash-grid (tcnn-parity path) lookup implementation:
+    # "gather" = direct XLA gather + scatter-add transpose;
+    # "sorted" = argsort indices once, then sorted gather + sorted
+    # segment-sum table gradient (TPU scatter-add serializes on the hash
+    # collisions a hash table guarantees; sorting removes them).
+    hash_impl: str = "gather"
 
     @property
     def plane_specs(self) -> tuple[tuple[int, int], ...]:

@@ -107,7 +107,8 @@ def field_apply(
             return raw_t.T.reshape(*points.shape[:-1], raw_t.shape[0])
         feats = mxgrid.encode(table, points, spec)
     else:
-        feats = hashgrid.encode(table, points, spec)
+        feats = hashgrid.encode(table, points, spec,
+                                impl=cfg.encoding.hash_impl)
     return apply_mlp(mlp, feats.astype(dtype), cfg.network)
 
 

@@ -27,6 +27,7 @@ CUDA backward. Batching over objects is an outer `vmap` over the table.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -104,13 +105,20 @@ def corner_indices(spec: HashGridSpec) -> tuple[np.ndarray, np.ndarray]:
     return _CORNERS
 
 
-def encode(table: jax.Array, x: jax.Array, spec: HashGridSpec) -> jax.Array:
+def encode(table: jax.Array, x: jax.Array, spec: HashGridSpec,
+           impl: str = "gather") -> jax.Array:
     """Encode points with the multiresolution hash grid.
 
     Args:
       table: [total_params, F] parameter table (all levels concatenated).
       x: [..., 3] points in the unit cube (warped object coords).
       spec: static layout.
+      impl: "gather" (direct XLA gather; backward is XLA's scatter-add
+        transpose) or "sorted" (argsort the corner indices once, gather in
+        sorted order, and accumulate the table gradient with a SORTED
+        segment-sum — a hash table guarantees index collisions, which
+        serialize TPU scatter-adds; sorting removes them). Both are exact
+        in fp32 up to summation order.
 
     Returns:
       [..., L*F] features (level-major), dtype = table.dtype.
@@ -151,9 +159,73 @@ def encode(table: jax.Array, x: jax.Array, spec: HashGridSpec) -> jax.Array:
     idx_all = jnp.stack(idx_levels, axis=1)  # [P, L, 8]
     w_all = jnp.stack(w_levels, axis=1)  # [P, L, 8]
 
+    if impl == "sorted":
+        out = _sorted_combine(
+            (n, spec.n_levels, spec.n_features), table,
+            idx_all.reshape(-1), w_all.reshape(-1).astype(table.dtype),
+        )
+        return out.reshape(*batch_shape, spec.n_levels * spec.n_features)
+
     # One big gather: [P, L, 8, F]
     feats = jnp.take(table, idx_all.reshape(n, -1), axis=0).reshape(
         n, spec.n_levels, 8, spec.n_features
     )
     out = jnp.sum(feats * w_all[..., None].astype(table.dtype), axis=2)  # [P, L, F]
     return out.reshape(*batch_shape, spec.n_levels * spec.n_features)
+
+
+# ------------------------------------------------------------- sorted impl
+# TPU scatter-adds serialize on duplicate indices, and a hash grid
+# guarantees duplicates (collisions + shared cell corners at coarse
+# levels). Sorting the flat corner indices once per call turns the
+# backward into a sorted segment-sum and lets the forward gather declare
+# indices_are_sorted. Differentiable in (table, w); the integer indices
+# carry no gradient (x-gradients flow through w, as in the gather path).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sorted_combine(dims, table, idx, w):
+    out, _ = _sorted_combine_fwd(dims, table, idx, w)
+    return out
+
+
+def _sorted_gather(dims, table, idx, w, order):
+    """Shared fwd/bwd compute: corner features in original order [N, F]."""
+    n_idx = idx.shape[0]
+    sidx = jnp.take(idx, order, unique_indices=True)
+    feats_s = jnp.take(table, sidx, axis=0, indices_are_sorted=True)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(n_idx, dtype=order.dtype), unique_indices=True
+    )
+    return jnp.take(feats_s, inv, axis=0, unique_indices=True)
+
+
+def _sorted_combine_fwd(dims, table, idx, w):
+    n, levels, f = dims
+    order = jnp.argsort(idx)
+    feats = _sorted_gather(dims, table, idx, w, order)  # [N, F]
+    out = (feats * w[:, None]).reshape(n, levels, 8, f).sum(axis=2)
+    return out, (table, idx, w, order)
+
+
+def _sorted_combine_bwd(dims, res, cot):
+    n, levels, f = dims
+    table, idx, w, order = res
+    # broadcast the [P, L, F] cotangent back to the 8 corners -> [N, F]
+    cot_n = jnp.broadcast_to(
+        cot[:, :, None, :], (n, levels, 8, f)
+    ).reshape(-1, f)
+    # d/d table: sorted segment-sum of w * cot at the sorted indices
+    g = cot_n * w[:, None]
+    sidx = jnp.take(idx, order, unique_indices=True)
+    gs = jnp.take(g, order, axis=0, unique_indices=True)
+    grad_table = jax.ops.segment_sum(
+        gs, sidx, num_segments=table.shape[0], indices_are_sorted=True
+    ).astype(table.dtype)
+    # d/d w: feature . cotangent per corner (recompute the sorted gather)
+    feats = _sorted_gather(dims, table, idx, w, order)
+    grad_w = jnp.sum(feats * cot_n, axis=-1).astype(w.dtype)
+    return grad_table, None, grad_w
+
+
+_sorted_combine.defvjp(_sorted_combine_fwd, _sorted_combine_bwd)

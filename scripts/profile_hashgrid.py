@@ -45,30 +45,31 @@ def main() -> None:
     table = hashgrid.init_table(key, spec)
     x = jax.random.uniform(jax.random.PRNGKey(1), (N_POINTS, 3))
 
-    @jax.jit
-    def fwd_only(t):
-        def body(t, _):
-            out = hashgrid.encode(t, x, spec)
-            return t * (1.0 + 1e-9 * out[0, 0]), None
-        return jax.lax.scan(body, t, None, length=ITERS)[0]
+    for impl in ("gather", "sorted"):
+        @jax.jit
+        def fwd_only(t, impl=impl):
+            def body(t, _):
+                out = hashgrid.encode(t, x, spec, impl=impl)
+                return t * (1.0 + 1e-9 * out[0, 0]), None
+            return jax.lax.scan(body, t, None, length=ITERS)[0]
 
-    @jax.jit
-    def fwd_bwd(t):
-        def body(t, _):
-            g = jax.grad(
-                lambda tt: hashgrid.encode(tt, x, spec).sum()
-            )(t)
-            return t + 1e-9 * g, None
-        return jax.lax.scan(body, t, None, length=ITERS)[0]
+        @jax.jit
+        def fwd_bwd(t, impl=impl):
+            def body(t, _):
+                g = jax.grad(
+                    lambda tt: hashgrid.encode(tt, x, spec, impl=impl).sum()
+                )(t)
+                return t + 1e-9 * g, None
+            return jax.lax.scan(body, t, None, length=ITERS)[0]
 
-    ms_f = bench("encode fwd (gather)", fwd_only, table)
-    ms_fb = bench("encode fwd+bwd (gather+scatter)", fwd_bwd, table)
-    print(json.dumps({
-        "stage": "bwd (scatter-add) approx",
-        "ms_per_iter": round(ms_fb - ms_f, 3),
-        "n_points": N_POINTS,
-        "levels": spec.n_levels,
-    }))
+        ms_f = bench(f"encode fwd ({impl})", fwd_only, table)
+        ms_fb = bench(f"encode fwd+bwd ({impl})", fwd_bwd, table)
+        print(json.dumps({
+            "stage": f"bwd approx ({impl})",
+            "ms_per_iter": round(ms_fb - ms_f, 3),
+            "n_points": N_POINTS,
+            "levels": spec.n_levels,
+        }))
 
 
 if __name__ == "__main__":

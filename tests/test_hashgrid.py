@@ -94,3 +94,31 @@ def test_encode_gradient_matches_finite_differences():
         tm = table.at[i, j].add(-eps)
         fd = (float(f(tp)) - float(f(tm))) / (2 * eps)
         np.testing.assert_allclose(g[i, j], fd, rtol=2e-2, atol=2e-3)
+
+
+def test_sorted_impl_matches_gather_values_and_grads():
+    """The sorted-lookup implementation (argsort + sorted gather + sorted
+    segment-sum backward) must agree with the direct gather path in values
+    and in gradients wrt table AND points (x-grads flow through the
+    trilinear weights), up to fp32 summation order."""
+    cfg = EncodingConfig(n_levels=4, n_features_per_level=2,
+                         log2_hashmap_size=8, base_resolution=4,
+                         desired_resolution=64.0)
+    spec = hashgrid.make_spec(cfg)
+    table = jnp.asarray(RNG.normal(size=(spec.total_params, 2)), jnp.float32)
+    x = jnp.asarray(RNG.uniform(0.05, 0.95, size=(257, 3)), jnp.float32)
+
+    out_g = hashgrid.encode(table, x, spec, impl="gather")
+    out_s = hashgrid.encode(table, x, spec, impl="sorted")
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_g),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(t, pts, impl):
+        return jnp.sum(jnp.sin(hashgrid.encode(t, pts, spec, impl=impl) * 3))
+
+    gt_g, gx_g = jax.grad(loss, argnums=(0, 1))(table, x, "gather")
+    gt_s, gx_s = jax.grad(loss, argnums=(0, 1))(table, x, "sorted")
+    np.testing.assert_allclose(np.asarray(gt_s), np.asarray(gt_g),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_g),
+                               rtol=1e-5, atol=1e-5)
