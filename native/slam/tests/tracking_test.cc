@@ -27,11 +27,19 @@ namespace {
 
 constexpr int W = 640, H = 480;
 
+struct Sphere {
+  Vec3 center;
+  float r;
+  uint8_t mask_val;  // instance-mask value (also the detection class here)
+  int tex;           // checker phase so objects look different to ORB
+};
+
 struct World {
   std::vector<Vec3> dots;      // wall texture points
   std::vector<int> dot_shade;  // intensity
   Vec3 sphere_center{0.0f, 0.3f, 5.0f};
   float sphere_r = 0.45f;
+  std::vector<Sphere> spheres;
 };
 
 World MakeWorld() {
@@ -59,6 +67,7 @@ World MakeWorld() {
     w.dots.push_back({ux(rng), 2.5f, 2.0f + 6.0f * ((i * 7) % 50) / 50.0f});
     w.dot_shade.push_back(shade(rng));
   }
+  w.spheres.push_back({w.sphere_center, w.sphere_r, 63, 0});
   return w;
 }
 
@@ -76,7 +85,7 @@ SE3 CameraPose(int i) {
 }
 
 void Render(const World& w, const SE3& twc, cv::Mat* gray, cv::Mat* instance,
-            Detection* det, bool* visible) {
+            std::vector<Detection>* dets, std::vector<bool>* visible) {
   CameraModel cam{520, 520, 320, 240, 0, 0, W, H};
   SE3 tcw = twc.inverse();
   *gray = cv::Mat(H, W, CV_8UC1, cv::Scalar(235));
@@ -91,39 +100,125 @@ void Render(const World& w, const SE3& twc, cv::Mat* gray, cv::Mat* instance,
     cv::circle(*gray, uv, r, cv::Scalar(w.dot_shade[i]), -1);
   }
 
-  // textured sphere: per-pixel ray-march
+  // textured spheres: per-pixel ray-march, nearest hit wins
   Vec3 cam_pos = twc.t;
-  float min_x = W, min_y = H, max_x = -1, max_y = -1;
+  size_t ns = w.spheres.size();
+  std::vector<float> min_x(ns, W), min_y(ns, H), max_x(ns, -1), max_y(ns, -1);
   for (int py = 0; py < H; ++py) {
     for (int px = 0; px < W; ++px) {
       Vec3 d_cam((px - cam.cx) / cam.fx, (py - cam.cy) / cam.fy, 1.0f);
       Vec3 d = twc.R * d_cam;
       d *= 1.0f / std::sqrt(d.dot(d));
-      Vec3 oc = cam_pos - w.sphere_center;
-      float b = oc.dot(d);
-      float c2 = oc.dot(oc) - w.sphere_r * w.sphere_r;
-      float disc = b * b - c2;
-      if (disc <= 0) continue;
-      float t = -b - std::sqrt(disc);
-      if (t < 0.3f) continue;
-      Vec3 p = cam_pos + d * t - w.sphere_center;
+      float best_t = 1e30f;
+      int best_s = -1;
+      for (size_t s = 0; s < ns; ++s) {
+        Vec3 oc = cam_pos - w.spheres[s].center;
+        float b = oc.dot(d);
+        float c2 = oc.dot(oc) - w.spheres[s].r * w.spheres[s].r;
+        float disc = b * b - c2;
+        if (disc <= 0) continue;
+        float t = -b - std::sqrt(disc);
+        if (t < 0.3f || t >= best_t) continue;
+        best_t = t;
+        best_s = static_cast<int>(s);
+      }
+      if (best_s < 0) continue;
+      const Sphere& sp = w.spheres[best_s];
+      Vec3 p = cam_pos + d * best_t - sp.center;
       // high-frequency texture: checker on the surface
       int cx = static_cast<int>((p[0] + 1) * 14) + static_cast<int>((p[1] + 1) * 14) +
                static_cast<int>((p[2] + 1) * 14);
-      gray->at<uint8_t>(py, px) = (cx % 2) ? 60 : 170;
-      instance->at<uint8_t>(py, px) = 63;  // class id
-      min_x = std::min(min_x, static_cast<float>(px));
-      max_x = std::max(max_x, static_cast<float>(px));
-      min_y = std::min(min_y, static_cast<float>(py));
-      max_y = std::max(max_y, static_cast<float>(py));
+      gray->at<uint8_t>(py, px) = ((cx + sp.tex) % 2) ? 60 : 170;
+      instance->at<uint8_t>(py, px) = sp.mask_val;
+      min_x[best_s] = std::min(min_x[best_s], static_cast<float>(px));
+      max_x[best_s] = std::max(max_x[best_s], static_cast<float>(px));
+      min_y[best_s] = std::min(min_y[best_s], static_cast<float>(py));
+      max_y[best_s] = std::max(max_y[best_s], static_cast<float>(py));
     }
   }
-  *visible = max_x > 0 && (max_x - min_x) > 24;
-  if (*visible) {
-    det->rect = {min_x, min_y, max_x - min_x + 1, max_y - min_y + 1};
-    det->cls = 63;
-    det->confidence = 0.9f;
+  dets->assign(ns, Detection());
+  visible->assign(ns, false);
+  for (size_t s = 0; s < ns; ++s) {
+    (*visible)[s] = max_x[s] > 0 && (max_x[s] - min_x[s]) > 24;
+    if ((*visible)[s]) {
+      (*dets)[s].rect = {min_x[s], min_y[s], max_x[s] - min_x[s] + 1,
+                         max_y[s] - min_y[s] + 1};
+      (*dets)[s].cls = w.spheres[s].mask_val;
+      (*dets)[s].confidence = 0.9f;
+    }
   }
+}
+
+// Two same-class objects: the association layer (IoU + shared points +
+// t-test, ObjectPipeline) must keep them apart and localize both, and the
+// double-t-test/cuboid-overlap merge must NOT fuse them.
+int RunTwoObjects() {
+  World world = MakeWorld();
+  world.spheres.push_back({{1.7f, 0.1f, 5.6f}, 0.38f, 63, 1});
+  TrackingConfig cfg;
+  cfg.cam = {520, 520, 320, 240, 0, 0, W, H};
+  cfg.max_frames_between_kf = 5;
+  Tracker tracker(cfg);
+  std::vector<SE3> gt, est;
+  int tracked = 0;
+  for (int i = 0; i < 90; ++i) {
+    SE3 twc = CameraPose(i);
+    cv::Mat gray, instance;
+    std::vector<Detection> sdets;
+    std::vector<bool> svis;
+    Render(world, twc, &gray, &instance, &sdets, &svis);
+    std::vector<Detection> dets;
+    for (size_t s = 0; s < svis.size(); ++s)
+      if (svis[s]) dets.push_back(sdets[s]);
+    auto pose = tracker.Track(gray, instance, dets, i * 0.1, gray);
+    if (pose) {
+      ++tracked;
+      gt.push_back(twc.inverse());
+      est.push_back(*pose);
+    }
+  }
+  tracker.FinalBundleAdjust();
+  std::printf("[two-objects] tracked %d/90\n", tracked);
+  CHECK(tracked > 60);
+  // monocular scale from camera-center displacements
+  std::vector<float> ratios;
+  Vec3 g0 = gt.front().inverse().t, e0 = est.front().inverse().t;
+  for (size_t k = 1; k < gt.size(); ++k) {
+    float gn = static_cast<float>(cv::norm(gt[k].inverse().t - g0));
+    float en = static_cast<float>(cv::norm(est[k].inverse().t - e0));
+    if (en > 1e-5f && gn > 1e-3f) ratios.push_back(gn / en);
+  }
+  std::nth_element(ratios.begin(), ratios.begin() + ratios.size() / 2,
+                   ratios.end());
+  float scale = ratios[ratios.size() / 2];
+  auto objects = tracker.map().Objects();
+  std::printf("[two-objects] objects: %zu (scale %.3f)\n", objects.size(),
+              scale);
+  CHECK(objects.size() == 2);  // associated apart, never merged
+  // each landmark sits near ITS sphere (greedy nearest assignment)
+  std::vector<bool> taken(world.spheres.size(), false);
+  for (ObjectMap* obj : objects) {
+    Vec3 c = obj->t_obj_w.inverse().t * scale;
+    int best = -1;
+    float best_d = 1e30f;
+    for (size_t s = 0; s < world.spheres.size(); ++s) {
+      if (taken[s]) continue;
+      float d = static_cast<float>(cv::norm(c - world.spheres[s].center));
+      if (d < best_d) {
+        best_d = d;
+        best = static_cast<int>(s);
+      }
+    }
+    CHECK(best >= 0);
+    taken[best] = true;
+    std::printf("[two-objects] object %ld -> sphere %d, center err %.3f "
+                "(%zu pts)\n",
+                obj->id, best, best_d, obj->points.size());
+    CHECK(best_d < 0.25f);
+    CHECK(obj->points.size() > 10);
+  }
+  std::printf("[two-objects] OK\n");
+  return 0;
 }
 
 }  // namespace
@@ -131,7 +226,13 @@ void Render(const World& w, const SE3& twc, cv::Mat* gray, cv::Mat* instance,
 int main(int argc, char** argv) {
   // --async: run the mapping step on its own thread (the reference's
   // LocalMapping-thread shape) — same checks must pass.
+  // --two: two-object association scenario only.
   bool async = argc > 1 && std::string(argv[1]) == "--async";
+  if (argc > 1 && std::string(argv[1]) == "--two") {
+    int rc = RunTwoObjects();
+    if (rc == 0) std::printf("tracking_test: ALL OK\n");
+    return rc;
+  }
   World world = MakeWorld();
   TrackingConfig cfg;
   cfg.cam = {520, 520, 320, 240, 0, 0, W, H};
@@ -175,19 +276,20 @@ int main(int argc, char** argv) {
   for (int i = 0; i < n_frames; ++i) {
     SE3 twc = CameraPose(i);
     cv::Mat gray, instance;
-    Detection det;
-    bool visible = false;
-    Render(world, twc, &gray, &instance, &det, &visible);
+    std::vector<Detection> sdets;
+    std::vector<bool> svis;
+    Render(world, twc, &gray, &instance, &sdets, &svis);
     // blackout: 6 frames of darkness mid-sequence — tracking must go lost
     // and RELOCALIZE when imagery returns (the camera arc re-visits viewed
     // structure), instead of drifting on a dead motion model
     if (i >= 58 && i < 64) {
       gray = cv::Mat::zeros(gray.size(), CV_8U);
       instance = cv::Mat::zeros(instance.size(), CV_8U);
-      visible = false;
+      svis.assign(svis.size(), false);
     }
     std::vector<Detection> dets;
-    if (visible) dets.push_back(det);
+    for (size_t s = 0; s < svis.size(); ++s)
+      if (svis[s]) dets.push_back(sdets[s]);
     auto pose = tracker.Track(gray, instance, dets, i * 0.1, gray);
     if (pose) {
       ++tracked;

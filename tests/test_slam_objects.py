@@ -35,3 +35,14 @@ def test_tracking_cpp_end_to_end():
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, f"stdout={out.stdout} stderr={out.stderr}"
     assert "ALL OK" in out.stdout
+
+
+@pytest.mark.skipif(shutil.which("cmake") is None, reason="no cmake")
+def test_tracking_cpp_two_objects():
+    """Same-class objects must be associated apart (IoU + shared points +
+    t-test) and localized individually, never merged."""
+    _build_native()
+    out = subprocess.run([os.path.join(BUILD, "tracking_test"), "--two"],
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, f"stdout={out.stdout} stderr={out.stderr}"
+    assert "ALL OK" in out.stdout
