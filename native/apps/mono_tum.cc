@@ -253,6 +253,10 @@ int main(int argc, char** argv) {
   cfg.object.add_mps_dist_multiple = ds.add_mps_dist;
   cfg.object.merge_mps_dist_multiple = ds.merge_mps_dist;
   cfg.object.merge_different_class = ds.merge_diff_class;
+  // ROMAP_LOOP_CLOSING=1 enables Sim3 loop closing (romap/loop_closing.h).
+  // Default off = reference behavioral parity: the reference ships
+  // LoopClosing.cc but starves it (ref src/LocalMapping.cc:100-101).
+  cfg.enable_loop_closing = std::getenv("ROMAP_LOOP_CLOSING") != nullptr;
   if (argc <= 3) train_iters = ds.train_step_iterations;
   Tracker tracker(cfg);
   tracker.StartMapping();  // mapping thread (ref System.cc:84-96)
@@ -689,6 +693,8 @@ int main(int argc, char** argv) {
   std::printf("median mapping time: %.2f ms (mean %.2f, %zu keyframe jobs)\n",
               mmed, mmean, tracker.mapping_ms().size());
   std::printf("max frames behind (kf queue depth): %zu\n", max_behind);
+  if (cfg.enable_loop_closing)
+    std::printf("loops closed: %ld\n", tracker.loops_closed());
   std::printf("mean association time: %.1f us\n",
               tracker.mean_association_us());  // ref System.cc:329-334
   {

@@ -25,6 +25,7 @@
 #include "romap/bow.h"
 #include "romap/features.h"
 #include "romap/frame.h"
+#include "romap/loop_closing.h"
 #include "romap/map.h"
 #include "romap/object_map.h"
 
@@ -53,6 +54,12 @@ struct TrackingConfig {
   // incremental batches at > angle_change.
   float nerf_angle_change = 0.25f;  // radians
   int min_bboxes_for_nerf = 10;
+  // Loop closing (Sim3 + essential graph, romap/loop_closing.h). Default
+  // OFF = reference behavioral parity: the reference ships LoopClosing.cc
+  // but starves it by disabling keyframe insertion
+  // (ref src/LocalMapping.cc:100-101).
+  bool enable_loop_closing = false;
+  LoopClosingConfig loop;
 };
 
 // Detection input per frame (from YOLO files / instance masks).
@@ -177,6 +184,7 @@ class Tracker {
   double mean_association_us() const {
     return assoc_frames_ ? assoc_us_total_ / assoc_frames_ : 0.0;
   }
+  long loops_closed() const { return loops_closed_; }
   // per-stage tracking split (µs totals over `frames` Track calls):
   // build = ORB + LSD + frame assembly; match = pose tracking (motion
   // model / ref-KF / reloc + local map); objects = association pipeline;
@@ -218,6 +226,8 @@ class Tracker {
   // role, ref src/KeyFrameDatabase.cc, src/System.cc:53-66)
   BowVocabulary voc_;
   KeyFrameDatabase kfdb_{&voc_};
+  std::unique_ptr<LoopCloser> loop_closer_;  // when cfg_.enable_loop_closing
+  long loops_closed_ = 0;
 
   Frame cur_, last_;
   Frame init_ref_;

@@ -1,0 +1,399 @@
+#include "romap/loop_closing.h"
+
+#include <algorithm>
+#include <array>
+#include <cstdio>
+#include <cstring>
+
+#include "romap/matcher.h"
+#include "romap/optimizer.h"
+
+namespace romap {
+
+namespace {
+
+inline int Hamming32(const uint8_t* a, const uint8_t* b) {
+  uint64_t x[4], y[4];
+  std::memcpy(x, a, 32);
+  std::memcpy(y, b, 32);
+  return __builtin_popcountll(x[0] ^ y[0]) + __builtin_popcountll(x[1] ^ y[1]) +
+         __builtin_popcountll(x[2] ^ y[2]) + __builtin_popcountll(x[3] ^ y[3]);
+}
+
+inline cv::Vec3d ToD(const Vec3& v) { return {v[0], v[1], v[2]}; }
+inline Vec3 ToF(const cv::Vec3d& v) {
+  return {static_cast<float>(v[0]), static_cast<float>(v[1]),
+          static_cast<float>(v[2])};
+}
+
+// Word-bucketed mutual-best descriptor matching between two keyframes,
+// restricted to keypoints that carry map points — the 3D-3D correspondences
+// the Sim3 solver consumes (the reference's ORBmatcher::SearchByBoW between
+// keyframes, ref src/LoopClosing.cc:253-265).
+std::vector<std::pair<int, int>> MatchByWord(const KeyFrame& k1,
+                                             const KeyFrame& k2,
+                                             int max_dist) {
+  std::vector<std::pair<int, int>> out;
+  if (k1.bow_words.empty() || k2.bow_words.empty()) return out;
+  std::array<std::vector<int>, BowVocabulary::kWords> buckets;
+  for (size_t j = 0; j < k2.bow_words.size(); ++j) {
+    const MapPoint* p = k2.points[j];
+    if (p && !p->bad) buckets[k2.bow_words[j]].push_back(static_cast<int>(j));
+  }
+  std::vector<int> best12(k1.bow_words.size(), -1);
+  std::vector<int> best21(k2.bow_words.size(), -1);
+  std::vector<int> dist21(k2.bow_words.size(), 257);
+  for (size_t i = 0; i < k1.bow_words.size(); ++i) {
+    const MapPoint* p = k1.points[i];
+    if (!p || p->bad) continue;
+    const auto& bucket = buckets[k1.bow_words[i]];
+    int best = -1, bd = max_dist + 1, bd2 = 257;
+    for (int j : bucket) {
+      const int d = Hamming32(k1.descriptors.ptr<uint8_t>(i),
+                              k2.descriptors.ptr<uint8_t>(j));
+      if (d < bd) {
+        bd2 = bd;
+        bd = d;
+        best = j;
+      } else if (d < bd2) {
+        bd2 = d;
+      }
+    }
+    if (best < 0) continue;
+    if (bd > static_cast<int>(0.9f * bd2)) continue;  // Lowe ratio test
+    best12[i] = best;
+    if (bd < dist21[best]) {
+      dist21[best] = bd;
+      best21[best] = static_cast<int>(i);
+    }
+  }
+  for (size_t i = 0; i < best12.size(); ++i) {
+    const int j = best12[i];
+    if (j >= 0 && best21[j] == static_cast<int>(i))
+      out.push_back({static_cast<int>(i), j});
+  }
+  return out;
+}
+
+}  // namespace
+
+std::vector<LoopCloser::Candidate> LoopCloser::DetectCandidates(KeyFrame* kf) {
+  std::vector<Candidate> out;
+  auto scored = kfdb_->QueryScored(kf->descriptors, cfg_.max_candidates + 8);
+  if (scored.empty()) return out;
+
+  // exclude the query's own covisible neighborhood and anything too recent
+  // (those always score high and are not loops,
+  // ref KeyFrameDatabase::DetectLoopCandidates src/KeyFrameDatabase.cc:64-96)
+  std::set<KeyFrame*, ById> excluded;
+  excluded.insert(kf);
+  for (KeyFrame* nb : kf->Covisible(15)) excluded.insert(nb);
+
+  float best = 0;
+  for (const auto& [score, cand] : scored) {
+    if (excluded.count(cand) || cand->bad) continue;
+    if (kf->id - cand->id < cfg_.min_gap_from_current) continue;
+    best = std::max(best, score);
+    out.push_back({cand, score});
+  }
+  // relative score gate (the reference gates on the minimum covisible-
+  // neighbor BoW score; the relative-to-best form is the same rule this
+  // codebase's relocalization already uses, tracking.cc kMaxCandidates)
+  out.erase(std::remove_if(out.begin(), out.end(),
+                           [&](const Candidate& c) {
+                             return c.score < cfg_.relative_score_gate * best;
+                           }),
+            out.end());
+  if (static_cast<int>(out.size()) > cfg_.max_candidates)
+    out.resize(cfg_.max_candidates);
+  return out;
+}
+
+LoopCloser::Result LoopCloser::Process(KeyFrame* kf) {
+  Result res;
+  if (!kf || kf->bad || kf->bow_words.empty()) return res;
+  if (kf->id < last_loop_kf_id_ + cfg_.min_kfs_between_loops) return res;
+
+  auto candidates = DetectCandidates(kf);
+  if (candidates.empty()) {
+    prev_groups_.clear();  // a gap breaks temporal consistency (ref :150-153)
+    return res;
+  }
+
+  // temporal consistency: a candidate only fires after its covisibility
+  // group intersects the previous keyframes' candidate groups
+  // `consistency_needed` times in a row (ref src/LoopClosing.cc:156-221)
+  std::vector<Group> cur_groups;
+  std::vector<std::pair<KeyFrame*, float>> consistent;
+  for (const auto& c : candidates) {
+    Group g;
+    g.kfs.insert(c.kf);
+    for (KeyFrame* nb : c.kf->Covisible(15)) g.kfs.insert(nb);
+    int best_count = 0;
+    for (const auto& prev : prev_groups_) {
+      bool hit = false;
+      for (KeyFrame* m : g.kfs)
+        if (prev.kfs.count(m)) {
+          hit = true;
+          break;
+        }
+      if (hit) best_count = std::max(best_count, prev.count);
+    }
+    g.count = best_count + 1;
+    cur_groups.push_back(g);
+    if (g.count >= cfg_.consistency_needed)
+      consistent.push_back({c.kf, c.score});
+  }
+  prev_groups_ = std::move(cur_groups);
+  if (consistent.empty()) return res;
+
+  for (const auto& [cand, score] : consistent) {
+    std::vector<std::pair<MapPoint*, MapPoint*>> pairs;
+    if (!ComputeSim3(kf, cand, &res, &pairs)) continue;
+    res.matched = cand;
+    CorrectLoop(kf, cand, res.s12, pairs);
+    res.corrected = true;
+    last_loop_kf_id_ = kf->id;
+    prev_groups_.clear();
+    return res;
+  }
+  return res;
+}
+
+bool LoopCloser::ComputeSim3(
+    KeyFrame* kf, KeyFrame* cand, Result* out,
+    std::vector<std::pair<MapPoint*, MapPoint*>>* pairs) {
+  const auto matches = MatchByWord(*kf, *cand, kOrbDistLow);
+  if (static_cast<int>(matches.size()) < cfg_.min_bow_matches) return false;
+
+  std::vector<cv::Vec3d> x1, x2;
+  std::vector<cv::Point2f> px1, px2;
+  std::vector<std::pair<MapPoint*, MapPoint*>> mps;
+  for (const auto& [i, j] : matches) {
+    MapPoint *p1 = kf->points[i], *p2 = cand->points[j];
+    x1.push_back(ToD(kf->tcw * p1->pos));
+    x2.push_back(ToD(cand->tcw * p2->pos));
+    px1.push_back(kf->keypoints[i].pt);
+    px2.push_back(cand->keypoints[j].pt);
+    mps.push_back({p1, p2});
+  }
+
+  const auto ransac =
+      SolveSim3Ransac(x1, x2, px1, px2, kf->cam, cand->cam, cfg_.ransac_iters,
+                      cfg_.ransac_px, static_cast<uint32_t>(kf->id) * 2654435761u);
+  if (ransac.n_inliers < cfg_.min_sim3_inliers) return false;
+
+  // pre-correction drift diagnostic: where the loop-side points land in the
+  // current image under the DRIFTED pose vs where they were matched
+  double drift = 0;
+  int n_drift = 0;
+  for (size_t k = 0; k < mps.size(); ++k) {
+    if (!ransac.inliers[k]) continue;
+    const Vec3 c = kf->tcw * mps[k].second->pos;
+    if (c[2] <= 1e-6f) continue;
+    const cv::Point2f proj = kf->cam.Project(c);
+    drift += cv::norm(proj - px1[k]);
+    ++n_drift;
+  }
+  out->drift_px = n_drift ? drift / n_drift : 0;
+  out->s12 = ransac.s12;
+  out->inliers = ransac.n_inliers;
+  pairs->clear();
+  for (size_t k = 0; k < mps.size(); ++k)
+    if (ransac.inliers[k]) pairs->push_back(mps[k]);
+  return true;
+}
+
+void LoopCloser::CorrectLoop(
+    KeyFrame* kf, KeyFrame* cand, const Sim3& s12,
+    const std::vector<std::pair<MapPoint*, MapPoint*>>& pairs) {
+  // pre-correction pose snapshot — essential-graph edge measurements come
+  // from the odometry AS TRACKED (the reference's NonCorrectedSim3 map)
+  auto vertices = map_->KeyFrames();
+  std::vector<Sim3> snapshot(vertices.size());
+  std::map<KeyFrame*, int, ById> index;
+  for (size_t v = 0; v < vertices.size(); ++v) {
+    index[vertices[v]] = static_cast<int>(v);
+    snapshot[v] = Sim3::FromSE3(vertices[v]->tcw);
+  }
+
+  // ---- 1. propagate the loop transform to the current covisible group
+  // (ref src/LoopClosing.cc:438-504): the loop side's geometry is trusted,
+  // the current side moves onto it. S1w_corr = S12 * S2w.
+  const Sim3 s1w_corr = s12 * Sim3::FromSE3(cand->tcw);
+  const SE3 t_w1 = kf->Twc();
+
+  std::vector<KeyFrame*> group;
+  group.push_back(kf);
+  for (KeyFrame* nb : kf->Covisible(15)) group.push_back(nb);
+
+  std::map<KeyFrame*, Sim3, ById> corrected, noncorrected;
+  for (KeyFrame* g : group) {
+    noncorrected[g] = Sim3::FromSE3(g->tcw);
+    corrected[g] = Sim3::FromSE3(g->tcw * t_w1) * s1w_corr;
+  }
+
+  // move every map point observed by the group once, through its first
+  // observer's correction (ref :461-480 mnCorrectedByKF bookkeeping)
+  std::set<MapPoint*, ById> moved;
+  for (KeyFrame* g : group) {
+    const Sim3 transport = corrected[g].inverse() * noncorrected[g];
+    for (MapPoint* p : g->points) {
+      if (!p || p->bad || moved.count(p)) continue;
+      p->pos = ToF(transport * ToD(p->pos));
+      moved.insert(p);
+    }
+  }
+  for (KeyFrame* g : group) g->tcw = corrected[g].ToSE3();
+
+  // ---- 2. merge the Sim3 inlier pairs (loop side survives) and fuse the
+  // loop neighborhood's points into the corrected group
+  // (ref :506-520 + SearchAndFuse :587-614). Covisibility existing BEFORE
+  // the fuse is recorded so the new group<->loop-side connections the fuse
+  // creates can be told apart (they become loop edges below,
+  // ref LoopConnections src/LoopClosing.cc:522-545).
+  std::map<KeyFrame*, std::set<KeyFrame*, ById>, ById> pre_covis;
+  for (KeyFrame* g : group) {
+    auto& s = pre_covis[g];
+    for (KeyFrame* nb : g->Covisible(cfg_.covis_edge_min_shared)) s.insert(nb);
+  }
+  for (const auto& [p_cur, p_loop] : pairs)
+    if (p_cur != p_loop && !p_cur->bad && !p_loop->bad)
+      map_->MergePoints(p_loop, p_cur);
+
+  std::set<MapPoint*, ById> loop_points;
+  std::vector<KeyFrame*> loop_side;
+  loop_side.push_back(cand);
+  for (KeyFrame* nb : cand->Covisible(15)) loop_side.push_back(nb);
+  for (KeyFrame* l : loop_side)
+    for (MapPoint* p : l->points)
+      if (p && !p->bad) loop_points.insert(p);
+  std::vector<MapPoint*> loop_vec(loop_points.begin(), loop_points.end());
+  for (KeyFrame* g : group)
+    FuseByProjection(g, loop_vec, cfg_.fuse_radius_px, map_);
+
+  // ---- 3. essential-graph optimization over every keyframe. Vertex init:
+  // the loop-propagated Sim3s (WITH scale — folding to SE3 before the graph
+  // would desync the group's rescaled odometry from the pre-correction
+  // measurements) for the group, the untouched poses elsewhere. Edge
+  // measurements come from the pre-correction snapshot, so the boundary
+  // edges between the moved group and the rest carry the loop discrepancy
+  // and the optimizer spreads it around the cycle.
+  std::vector<Sim3> init = snapshot;
+  for (KeyFrame* g : group) {
+    auto it = index.find(g);
+    if (it != index.end()) init[it->second] = corrected[g];
+  }
+  std::vector<Sim3Edge> loop_edges;
+  if (index.count(kf) && index.count(cand)) {
+    Sim3Edge e;
+    e.i = index[cand];
+    e.j = index[kf];
+    e.s_ji = init[e.j] * init[e.i].inverse();  // == s12 by construction
+    e.weight = 4.0;  // the verified constraint out-pulls drifted odometry
+    loop_edges.push_back(e);
+  }
+  // new group<->loop-side covisibility created by the fuse: loop edges too,
+  // measured from the CORRECTED relatives (pre-correction odometry between
+  // the two sides is exactly the drift being removed)
+  std::set<KeyFrame*, ById> in_group(group.begin(), group.end());
+  for (KeyFrame* g : group) {
+    auto ig = index.find(g);
+    if (ig == index.end()) continue;
+    for (KeyFrame* nb : g->Covisible(cfg_.covis_edge_min_shared)) {
+      if (in_group.count(nb) || pre_covis[g].count(nb)) continue;
+      auto inb = index.find(nb);
+      if (inb == index.end()) continue;
+      Sim3Edge e;
+      e.i = inb->second;
+      e.j = ig->second;
+      e.s_ji = init[e.j] * init[e.i].inverse();
+      loop_edges.push_back(e);
+    }
+  }
+  std::set<int> fixed;
+  if (index.count(cand)) fixed.insert(index[cand]);
+  OptimizeEssentialGraph(loop_edges, vertices, init, snapshot, fixed);
+
+  // ---- 4. global BA (ref RunGlobalBundleAdjustment :645-749): the graph
+  // made the map topologically consistent; reprojection BA over the merged
+  // observations snaps the geometry. The loop keyframe plus one covisible
+  // neighbor pin the monocular gauge (pose + scale).
+  if (cfg_.run_global_ba) {
+    std::set<KeyFrame*> ba_fixed{cand};
+    auto nbs = cand->Covisible(15);
+    if (!nbs.empty()) ba_fixed.insert(nbs.front());
+    LocalBundleAdjust(map_->KeyFrames(), ba_fixed, cfg_.global_ba_iters);
+  }
+}
+
+void LoopCloser::OptimizeEssentialGraph(const std::vector<Sim3Edge>& loop_edges,
+                                        const std::vector<KeyFrame*>& vertices,
+                                        const std::vector<Sim3>& init,
+                                        const std::vector<Sim3>& meas,
+                                        const std::set<int>& fixed) {
+  const int V = static_cast<int>(vertices.size());
+  if (V < 2) return;
+  std::vector<Sim3> poses = init;
+
+  // Edge set (ref Optimizer::OptimizeEssentialGraph): the sequential chain
+  // (our spanning tree — keyframes are created along the trajectory) plus
+  // strong covisibility edges, measured from the pre-correction pose set.
+  std::vector<Sim3Edge> edges = loop_edges;
+  for (int v = 1; v < V; ++v) {
+    Sim3Edge e;
+    e.i = v - 1;
+    e.j = v;
+    e.s_ji = meas[v] * meas[v - 1].inverse();
+    edges.push_back(e);
+  }
+  std::map<KeyFrame*, int, ById> index;
+  for (int v = 0; v < V; ++v) index[vertices[v]] = v;
+  std::set<std::pair<int, int>> seen;
+  for (const auto& e : loop_edges) {  // don't re-measure loop pairs from meas
+    const auto key = std::minmax(e.i, e.j);
+    seen.insert({key.first, key.second});
+  }
+  for (int v = 0; v < V; ++v) {
+    auto covis = vertices[v]->Covisible(cfg_.covis_edge_min_shared);
+    int added = 0;
+    for (KeyFrame* nb : covis) {
+      if (added >= cfg_.covis_edges_per_kf) break;
+      auto it = index.find(nb);
+      if (it == index.end()) continue;
+      const int u = it->second;
+      if (std::abs(u - v) <= 1) continue;  // chain already covers it
+      const auto key = std::minmax(u, v);
+      if (!seen.insert({key.first, key.second}).second) continue;
+      Sim3Edge e;
+      e.i = std::min(u, v);
+      e.j = std::max(u, v);
+      e.s_ji = meas[e.j] * meas[e.i].inverse();
+      edges.push_back(e);
+      ++added;
+    }
+  }
+
+  OptimizeSim3Graph(&poses, edges, fixed, cfg_.pose_graph_iters);
+
+  // transport every map point through its first observer's pose change,
+  // then write the optimized poses back (ref :545-576)
+  std::set<MapPoint*, ById> done;
+  for (int v = 0; v < V; ++v) {
+    const Sim3 transport = poses[v].inverse() * init[v];
+    for (MapPoint* p : vertices[v]->points) {
+      if (!p || p->bad || done.count(p)) continue;
+      p->pos = ToF(transport * ToD(p->pos));
+      done.insert(p);
+    }
+  }
+  for (int v = 0; v < V; ++v) vertices[v]->tcw = poses[v].ToSE3();
+
+  // object landmarks re-derive their shape from the (corrected) member
+  // points; their bbox-history statistics are time-keyed and stay valid.
+  // (The reference's loop closer predates its object layer and never runs,
+  // so there is no reference behavior to match here.)
+  for (ObjectMap* obj : map_->Objects()) obj->EstimateShape();
+}
+
+}  // namespace romap

@@ -762,6 +762,36 @@ void Tracker::MappingStep(KeyFrame* kf, const cv::Mat& rgb,
     }
   }
 
+  // loop closing (opt-in — the reference ships LoopClosing.cc but starves
+  // it, ref src/LocalMapping.cc:100-101; see romap/loop_closing.h). Runs
+  // under the map lock in async mode: correction rewrites keyframe poses
+  // and point positions in place.
+  if (cfg_.enable_loop_closing) {
+    if (!loop_closer_)
+      loop_closer_ = std::make_unique<LoopCloser>(&map_, &kfdb_, cfg_.loop);
+    LoopCloser::Result lres = loop_closer_->Process(kf);
+    if (lres.corrected) {
+      ++loops_closed_;
+      if (std::getenv("ROMAP_SLAM_DEBUG"))
+        std::printf(
+            "[loop kf=%ld] matched kf=%ld inliers=%d scale=%.4f drift=%.1fpx\n",
+            kf->id, lres.matched->id, lres.inliers, lres.s12.s, lres.drift_px);
+      if (!mapping_async_) {
+        cur_.tcw = kf->tcw;      // the tracker's view of this frame moved
+        has_velocity_ = false;   // the motion model is stale after the jump
+      }
+      // every already-uploaded NeRF pose changed — rewrite them all
+      // (socket I/O outside the map lock, like the post-BA upload above)
+      if (hooks.update_poses) {
+        std::vector<std::pair<double, SE3>> all;
+        for (KeyFrame* k : map_.KeyFrames()) all.push_back({k->timestamp, k->Twc()});
+        if (lk.owns_lock()) lk.unlock();
+        hooks.update_poses(all);
+        if (mapping_async_) lk.lock();
+      }
+    }
+  }
+
   TriggerNerf(kf);
 }
 

@@ -239,6 +239,10 @@ int main(int argc, char** argv) {
   cfg.max_frames_between_kf = 5;
   cfg.nerf_angle_change = 0.05f;
   cfg.min_bboxes_for_nerf = 6;  // small sequence: exercise the trigger
+  // ROMAP_LOOP_CLOSING=1 runs the detector on every keyframe through the
+  // full pipeline (the room orbit keeps structure covisible, so no loop
+  // fires — this exercises the detection path for regressions/races)
+  cfg.enable_loop_closing = std::getenv("ROMAP_LOOP_CLOSING") != nullptr;
   Tracker tracker(cfg);
   if (async) tracker.StartMapping();
 
