@@ -38,6 +38,17 @@ def test_tracking_cpp_end_to_end():
 
 
 @pytest.mark.skipif(shutil.which("cmake") is None, reason="no cmake")
+def test_loop_closing_cpp():
+    """Sim3 algebra + RANSAC + essential graph + end-to-end loop closure on
+    a synthetic drifted-loop map (native/slam/tests/loop_test.cc)."""
+    _build_native()
+    out = subprocess.run([os.path.join(BUILD, "loop_test")],
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, f"stdout={out.stdout} stderr={out.stderr}"
+    assert "all ok" in out.stdout
+
+
+@pytest.mark.skipif(shutil.which("cmake") is None, reason="no cmake")
 def test_tracking_cpp_two_objects():
     """Same-class objects must be associated apart (IoU + shared points +
     t-test) and localized individually, never merged."""
