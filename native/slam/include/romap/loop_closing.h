@@ -33,6 +33,16 @@ struct LoopClosingConfig {
   int min_sim3_inliers = 20;
   int ransac_iters = 300;
   float ransac_px = 4.0f;
+  // second verification stage (ref src/LoopClosing.cc:343-399): project the
+  // loop neighborhood's map points through the Sim3-corrected pose into the
+  // current keyframe and count descriptor agreements — a marginal RANSAC
+  // consensus on a locally-degenerate point set dies here
+  int min_projection_matches = 40;
+  float projection_radius_px = 8.0f;
+  // reject refined Sim3s whose |log scale| exceeds this — monocular scale
+  // drift over one loop is a few percent, a far-from-1 scale is a failed
+  // estimate whose application would warp the map worse than the drift
+  float max_abs_log_scale = 0.35f;
   // correction (ref src/LoopClosing.cc:402-585, src/Optimizer.cc
   // OptimizeEssentialGraph)
   int covis_edge_min_shared = 30;  // essential-graph covisibility edges
@@ -44,7 +54,7 @@ struct LoopClosingConfig {
   // graph closes the loop topologically; BA then snaps points + poses onto
   // the merged observations
   bool run_global_ba = true;
-  int global_ba_iters = 8;
+  int global_ba_iters = 40;
 };
 
 class LoopCloser {

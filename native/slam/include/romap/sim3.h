@@ -88,6 +88,26 @@ Sim3RansacResult SolveSim3Ransac(const std::vector<cv::Vec3d>& x1,
                                  const CameraModel& cam2, int iters = 300,
                                  float px_thresh = 4.0f, uint32_t seed = 42);
 
+// Gauss-Newton polish of a RANSAC Sim3 (the reference's
+// Optimizer::OptimizeSim3, ref src/LoopClosing.cc:327-341): minimizes
+// Huber-robustified bidirectional reprojection error over the inlier
+// correspondences (x1 ~ S12 * x2, observed at px1/px2), plus optional
+// forward-only matches (x2f projected through S12 against px1f — the wider
+// projection-verified set that has no reverse observation). A 3-point
+// minimal-set RANSAC scale is noisy (observed 5% off on a 30 px-drift
+// loop); distributing that error around the cycle warps the whole map, so
+// the polish here is load-bearing, not cosmetic. Returns the final inlier
+// count under `huber_px`.
+int RefineSim3(Sim3* s12, const std::vector<cv::Vec3d>& x1,
+               const std::vector<cv::Vec3d>& x2,
+               const std::vector<cv::Point2f>& px1,
+               const std::vector<cv::Point2f>& px2,
+               const std::vector<char>& use, const CameraModel& cam1,
+               const CameraModel& cam2,
+               const std::vector<cv::Vec3d>& x2f = {},
+               const std::vector<cv::Point2f>& px1f = {}, int iters = 10,
+               float huber_px = 2.5f);
+
 // Sim(3) pose graph: vertices are world->camera similarities, each edge
 // constrains the relative transform S_ji = S_j * S_i^-1. Gauss-Newton with
 // numeric Jacobians and dense normal equations — exact for the map sizes an

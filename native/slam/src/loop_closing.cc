@@ -79,7 +79,10 @@ std::vector<std::pair<int, int>> MatchByWord(const KeyFrame& k1,
 
 std::vector<LoopCloser::Candidate> LoopCloser::DetectCandidates(KeyFrame* kf) {
   std::vector<Candidate> out;
-  auto scored = kfdb_->QueryScored(kf->descriptors, cfg_.max_candidates + 8);
+  // query wide: the exclusions below (covisible neighborhood + recency)
+  // eat the top slots on a live map, and true loop candidates rank after
+  // them — a tight top-k here would starve detection as the map grows
+  auto scored = kfdb_->QueryScored(kf->descriptors, cfg_.max_candidates + 56);
   if (scored.empty()) return out;
 
   // exclude the query's own covisible neighborhood and anything too recent
@@ -87,7 +90,11 @@ std::vector<LoopCloser::Candidate> LoopCloser::DetectCandidates(KeyFrame* kf) {
   // ref KeyFrameDatabase::DetectLoopCandidates src/KeyFrameDatabase.cc:64-96)
   std::set<KeyFrame*, ById> excluded;
   excluded.insert(kf);
-  for (KeyFrame* nb : kf->Covisible(15)) excluded.insert(nb);
+  // ANY shared map point disqualifies a candidate: after a closure's fuse the
+  // old loop side is genuinely the same place as the current one, and firing
+  // a second Sim3 between two views of an already-consistent region injects
+  // its estimation noise (observed: scale 1.12 re-tearing a closed map)
+  for (KeyFrame* nb : kf->Covisible(1)) excluded.insert(nb);
 
   float best = 0;
   for (const auto& [score, cand] : scored) {
@@ -149,6 +156,9 @@ LoopCloser::Result LoopCloser::Process(KeyFrame* kf) {
 
   for (const auto& [cand, score] : consistent) {
     std::vector<std::pair<MapPoint*, MapPoint*>> pairs;
+    if (std::getenv("ROMAP_SLAM_DEBUG"))
+      std::printf("[loop try kf=%ld t=%.1f] cand kf=%ld t=%.1f score=%.3f\n",
+                  kf->id, kf->timestamp, cand->id, cand->timestamp, score);
     if (!ComputeSim3(kf, cand, &res, &pairs)) continue;
     res.matched = cand;
     CorrectLoop(kf, cand, res.s12, pairs);
@@ -164,6 +174,8 @@ bool LoopCloser::ComputeSim3(
     KeyFrame* kf, KeyFrame* cand, Result* out,
     std::vector<std::pair<MapPoint*, MapPoint*>>* pairs) {
   const auto matches = MatchByWord(*kf, *cand, kOrbDistLow);
+  const bool dbg = std::getenv("ROMAP_SLAM_DEBUG") != nullptr;
+  if (dbg) std::printf("[loop sim3] bow_matches=%zu\n", matches.size());
   if (static_cast<int>(matches.size()) < cfg_.min_bow_matches) return false;
 
   std::vector<cv::Vec3d> x1, x2;
@@ -181,7 +193,95 @@ bool LoopCloser::ComputeSim3(
   const auto ransac =
       SolveSim3Ransac(x1, x2, px1, px2, kf->cam, cand->cam, cfg_.ransac_iters,
                       cfg_.ransac_px, static_cast<uint32_t>(kf->id) * 2654435761u);
+  if (dbg)
+    std::printf("[loop sim3] ransac inliers=%d scale=%.4f\n", ransac.n_inliers,
+                ransac.s12.s);
   if (ransac.n_inliers < cfg_.min_sim3_inliers) return false;
+
+  // First polish of the minimal-set RANSAC estimate over its inliers (ref
+  // Optimizer::OptimizeSim3, src/LoopClosing.cc:327-341): the 3-point scale
+  // is the noisiest Sim3 component, and a few-% scale error distributed
+  // around the loop cycle warps the whole map worse than the drift being
+  // corrected.
+  Sim3 s12_refined = ransac.s12;
+  RefineSim3(&s12_refined, x1, x2, px1, px2, ransac.inliers, kf->cam,
+             cand->cam);
+
+  // second stage (ref SearchBySim3 + second OptimizeSim3 + the >= 40 gate,
+  // src/LoopClosing.cc:343-399): project the WIDER loop neighborhood's map
+  // points through the polished estimate into the current keyframe, re-match
+  // by descriptor, and polish again over the expanded correspondence set —
+  // dozens-to-hundreds of matches where RANSAC had ~30, which is what pins
+  // the weakly-observable scale. The match count is also the verification
+  // gate: a marginal RANSAC consensus on a degenerate point set dies here.
+  std::set<MapPoint*, ById> loop_points;
+  for (MapPoint* p : cand->points)
+    if (p && !p->bad) loop_points.insert(p);
+  for (KeyFrame* nb : cand->Covisible(15))
+    for (MapPoint* p : nb->points)
+      if (p && !p->bad) loop_points.insert(p);
+  const SE3 t1w_corr = (s12_refined * Sim3::FromSE3(cand->tcw)).ToSE3();
+  std::map<int, std::pair<int, MapPoint*>> hit;  // keypoint -> (dist, point)
+  const float r2 = cfg_.projection_radius_px * cfg_.projection_radius_px;
+  for (MapPoint* p : loop_points) {
+    const Vec3 c = t1w_corr * p->pos;
+    if (c[2] <= 1e-6f) continue;
+    const cv::Point2f proj = kf->cam.Project(c);
+    if (proj.x < 0 || proj.y < 0 || proj.x >= kf->cam.max_x ||
+        proj.y >= kf->cam.max_y)
+      continue;
+    int best = -1, bd = kOrbDistLow + 1;
+    for (size_t i = 0; i < kf->keypoints.size(); ++i) {
+      const cv::Point2f d = kf->keypoints[i].pt - proj;
+      if (d.x * d.x + d.y * d.y > r2) continue;
+      const int dist = Hamming32(kf->descriptors.ptr<uint8_t>(i),
+                                 p->descriptor.ptr<uint8_t>(0));
+      if (dist < bd) {
+        bd = dist;
+        best = static_cast<int>(i);
+      }
+    }
+    if (best < 0) continue;
+    auto it = hit.find(best);
+    if (it == hit.end() || bd < it->second.first) hit[best] = {bd, p};
+  }
+  if (dbg)
+    std::printf("[loop sim3] guided hits=%zu (of %zu loop points)\n",
+                hit.size(), loop_points.size());
+  if (static_cast<int>(hit.size()) < cfg_.min_projection_matches) return false;
+
+  // expanded correspondences: bidirectional where the current keypoint has
+  // its own map point and the loop point is observed in cand; forward-only
+  // otherwise
+  std::vector<cv::Vec3d> ex1, ex2, x2f;
+  std::vector<cv::Point2f> epx1, epx2, px1f;
+  std::vector<std::pair<MapPoint*, MapPoint*>> ex_pairs;
+  for (const auto& [kp_idx, dp] : hit) {
+    MapPoint* p2 = dp.second;
+    MapPoint* p1 = kf->points[kp_idx];
+    const auto it2 = p2->obs.find(cand);
+    if (p1 && !p1->bad && it2 != p2->obs.end()) {
+      ex1.push_back(ToD(kf->tcw * p1->pos));
+      ex2.push_back(ToD(cand->tcw * p2->pos));
+      epx1.push_back(kf->keypoints[kp_idx].pt);
+      epx2.push_back(cand->keypoints[it2->second].pt);
+      ex_pairs.push_back({p1, p2});
+    } else {
+      x2f.push_back(ToD(cand->tcw * p2->pos));
+      px1f.push_back(kf->keypoints[kp_idx].pt);
+    }
+  }
+  const int n_refined = RefineSim3(&s12_refined, ex1, ex2, epx1, epx2, {},
+                                   kf->cam, cand->cam, x2f, px1f);
+  if (dbg)
+    std::printf("[loop sim3] refined inliers=%d scale=%.4f\n", n_refined,
+                s12_refined.s);
+  if (n_refined < cfg_.min_sim3_inliers) return false;
+  // a monocular loop's scale drift is a few percent; a refined estimate far
+  // from 1 is a failed/degenerate solve (observed 0.54 on repetitive
+  // texture), and applying it would warp the map worse than any drift
+  if (std::abs(std::log(s12_refined.s)) > cfg_.max_abs_log_scale) return false;
+  if (std::getenv("ROMAP_LOOP_FORCE_UNIT_SCALE")) s12_refined.s = 1.0;
 
   // pre-correction drift diagnostic: where the loop-side points land in the
   // current image under the DRIFTED pose vs where they were matched
@@ -196,11 +296,23 @@ bool LoopCloser::ComputeSim3(
     ++n_drift;
   }
   out->drift_px = n_drift ? drift / n_drift : 0;
-  out->s12 = ransac.s12;
-  out->inliers = ransac.n_inliers;
+  out->s12 = s12_refined;
+  out->inliers = n_refined;
   pairs->clear();
   for (size_t k = 0; k < mps.size(); ++k)
     if (ransac.inliers[k]) pairs->push_back(mps[k]);
+  // guided matches that fit the final transform are merge pairs too (the
+  // reference merges the SearchBySim3 set the same way, ref :506-520)
+  std::set<MapPoint*, ById> already;
+  for (const auto& [a, b] : *pairs) already.insert(a);
+  for (size_t k = 0; k < ex_pairs.size(); ++k) {
+    if (already.count(ex_pairs[k].first)) continue;
+    const cv::Vec3d y = s12_refined * ex2[k];
+    if (y[2] <= 1e-6) continue;
+    const cv::Point2f proj = kf->cam.Project(ToF(y));
+    const cv::Point2f d = proj - epx1[k];
+    if (d.dot(d) <= 9.0f) pairs->push_back(ex_pairs[k]);
+  }
   return true;
 }
 
@@ -257,9 +369,11 @@ void LoopCloser::CorrectLoop(
     auto& s = pre_covis[g];
     for (KeyFrame* nb : g->Covisible(cfg_.covis_edge_min_shared)) s.insert(nb);
   }
-  for (const auto& [p_cur, p_loop] : pairs)
-    if (p_cur != p_loop && !p_cur->bad && !p_loop->bad)
-      map_->MergePoints(p_loop, p_cur);
+  const bool no_fuse = std::getenv("ROMAP_LOOP_NO_FUSE") != nullptr;
+  if (!no_fuse)
+    for (const auto& [p_cur, p_loop] : pairs)
+      if (p_cur != p_loop && !p_cur->bad && !p_loop->bad)
+        map_->MergePoints(p_loop, p_cur);
 
   std::set<MapPoint*, ById> loop_points;
   std::vector<KeyFrame*> loop_side;
@@ -269,8 +383,9 @@ void LoopCloser::CorrectLoop(
     for (MapPoint* p : l->points)
       if (p && !p->bad) loop_points.insert(p);
   std::vector<MapPoint*> loop_vec(loop_points.begin(), loop_points.end());
-  for (KeyFrame* g : group)
-    FuseByProjection(g, loop_vec, cfg_.fuse_radius_px, map_);
+  if (!no_fuse)
+    for (KeyFrame* g : group)
+      FuseByProjection(g, loop_vec, cfg_.fuse_radius_px, map_);
 
   // ---- 3. essential-graph optimization over every keyframe. Vertex init:
   // the loop-propagated Sim3s (WITH scale — folding to SE3 before the graph
@@ -323,7 +438,26 @@ void LoopCloser::CorrectLoop(
     std::set<KeyFrame*> ba_fixed{cand};
     auto nbs = cand->Covisible(15);
     if (!nbs.empty()) ba_fixed.insert(nbs.front());
-    LocalBundleAdjust(map_->KeyFrames(), ba_fixed, cfg_.global_ba_iters);
+    // two-phase (the reference's g2o GBA runs a robust kernel then drops
+    // chi2 outliers the same way): phase 1 descends from the torn
+    // post-graph state WITHOUT stripping — large residuals there are the
+    // loop constraint itself, not wrong data; once converged (median
+    // sub-pixel), anything still far out IS a wrong association (fuse
+    // mismatch), so strip and polish
+    const BAStats s1 =
+        LocalBundleAdjust(map_->KeyFrames(), ba_fixed, cfg_.global_ba_iters,
+                          /*huber_px=*/5.0f, /*strip_outliers=*/false);
+    const BAStats s2 =
+        LocalBundleAdjust(map_->KeyFrames(), ba_fixed,
+                          cfg_.global_ba_iters,
+                          /*huber_px=*/3.0f, /*strip_outliers=*/true);
+    if (std::getenv("ROMAP_SLAM_DEBUG"))
+      std::printf(
+          "[loop gba] poses=%d pts=%d obs=%d rmse %.2f -> %.2f "
+          "-> %.2f px (med %.2f p95 %.2f)\n",
+          s1.n_poses, s1.n_points, s1.n_obs, s1.initial_rmse_px,
+          s1.final_rmse_px, s2.final_rmse_px, s2.final_med_px,
+          s2.final_p95_px);
   }
 }
 

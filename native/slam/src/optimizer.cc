@@ -1,3 +1,4 @@
+#include <algorithm>
 #include "romap/optimizer.h"
 
 #include <cmath>
@@ -26,7 +27,7 @@ Mat3 ExpSO3(const Vec3& w) {
 
 BAStats LocalBundleAdjust(const std::vector<KeyFrame*>& kfs,
                           const std::set<KeyFrame*>& fixed, int iters,
-                          float huber_px) {
+                          float huber_px, bool strip_outliers) {
   BAStats stats;
   // variable pose index per keyframe (-1 = fixed)
   std::map<KeyFrame*, int> pose_idx;
@@ -79,6 +80,28 @@ BAStats LocalBundleAdjust(const std::vector<KeyFrame*>& kfs,
   stats.initial_rmse_px = compute_rmse();
   stats.n_obs = 0;
 
+  // robust (Huber-rho) total cost — Levenberg-Marquardt step control needs
+  // the actual objective, not the linearized one
+  auto compute_chi2 = [&]() {
+    double chi2 = 0;
+    for (MapPoint* p : pts) {
+      for (const auto& [kf, idx] : p->obs) {
+        if (!pose_idx.count(kf)) continue;
+        Vec3 pc = kf->tcw * p->pos;
+        if (pc[2] < 0.05f) {
+          chi2 += 4.0 * huber_px * huber_px;  // behind-camera penalty
+          continue;
+        }
+        cv::Point2f r = kf->cam.Project(pc) - kf->keypoints[idx].pt;
+        double e = std::sqrt(static_cast<double>(r.dot(r)));
+        chi2 += e <= huber_px ? e * e : huber_px * (2 * e - huber_px);
+      }
+    }
+    return chi2;
+  };
+
+  double lambda = 1e-5;
+  double chi2 = compute_chi2();
   for (int it = 0; it < iters; ++it) {
     cv::Mat hcc = cv::Mat::zeros(np, np, CV_64F);
     cv::Mat bc = cv::Mat::zeros(np, 1, CV_64F);
@@ -146,12 +169,14 @@ BAStats LocalBundleAdjust(const std::vector<KeyFrame*>& kfs,
     }
     stats.n_obs = n_obs;
 
-    // Schur complement: S = Hcc - sum_p Hcp Hpp^-1 Hpc, rhs likewise
+    // LM damping on the point blocks (the pose blocks get theirs below,
+    // after the Schur complement is formed from these damped inverses)
     cv::Mat s = hcc.clone();
     cv::Mat rhs = bc.clone();
     std::vector<cv::Matx33d> hpp_inv(pts.size());
     for (size_t pi = 0; pi < pts.size(); ++pi) {
-      cv::Matx33d h = hpp[pi] + cv::Matx33d::eye() * 1e-6;
+      cv::Matx33d h = hpp[pi];
+      for (int d = 0; d < 3; ++d) h(d, d) = h(d, d) * (1.0 + lambda) + 1e-6;
       hpp_inv[pi] = h.inv();
     }
     // group hcp by point for the cross terms
@@ -174,11 +199,22 @@ BAStats LocalBundleAdjust(const std::vector<KeyFrame*>& kfs,
         }
       }
     }
-    // mild LM damping
-    for (int d = 0; d < np; ++d) s.at<double>(d, d) += 1e-5;
+    // LM damping on the pose blocks
+    for (int d = 0; d < np; ++d)
+      s.at<double>(d, d) = s.at<double>(d, d) * (1.0 + lambda) + 1e-8;
 
     cv::Mat dx;
-    if (!cv::solve(s, -rhs, dx, cv::DECOMP_CHOLESKY)) break;
+    if (!cv::solve(s, -rhs, dx, cv::DECOMP_CHOLESKY)) {
+      lambda *= 10.0;
+      if (lambda > 1e4) break;
+      continue;
+    }
+
+    // snapshot so a cost-increasing step can be rejected (LM)
+    std::vector<SE3> pose_backup(var_kfs.size());
+    for (size_t k = 0; k < var_kfs.size(); ++k) pose_backup[k] = var_kfs[k]->tcw;
+    std::vector<Vec3> point_backup(pts.size());
+    for (size_t pi = 0; pi < pts.size(); ++pi) point_backup[pi] = pts[pi]->pos;
 
     // update poses
     for (size_t k = 0; k < var_kfs.size(); ++k) {
@@ -212,12 +248,28 @@ BAStats LocalBundleAdjust(const std::vector<KeyFrame*>& kfs,
       pts[pi]->pos += Vec3(static_cast<float>(dp[0]), static_cast<float>(dp[1]),
                            static_cast<float>(dp[2]));
     }
+
+    // LM accept/reject on the robust objective
+    const double new_chi2 = compute_chi2();
+    if (new_chi2 > chi2) {
+      for (size_t k = 0; k < var_kfs.size(); ++k)
+        var_kfs[k]->tcw = pose_backup[k];
+      for (size_t pi = 0; pi < pts.size(); ++pi)
+        pts[pi]->pos = point_backup[pi];
+      lambda *= 10.0;
+      if (lambda > 1e4) break;
+    } else {
+      const bool converged = chi2 - new_chi2 < 1e-9 * std::max(1.0, chi2);
+      chi2 = new_chi2;
+      lambda = std::max(lambda * 0.5, 1e-7);
+      if (converged) break;
+    }
   }
 
   // strip gross-outlier observations (wrong data associations drag the
   // window; the reference removes chi2 outliers after LocalBA the same way)
   int stripped = 0;
-  for (MapPoint* p : pts) {
+  for (MapPoint* p : strip_outliers ? pts : std::vector<MapPoint*>{}) {
     for (auto it = p->obs.begin(); it != p->obs.end();) {
       KeyFrame* kf = it->first;
       if (!pose_idx.count(kf)) {
@@ -243,6 +295,24 @@ BAStats LocalBundleAdjust(const std::vector<KeyFrame*>& kfs,
   (void)stripped;
 
   stats.final_rmse_px = compute_rmse();
+  {
+    std::vector<float> errs;
+    for (MapPoint* p : pts)
+      for (const auto& [kf, idx] : p->obs) {
+        if (!pose_idx.count(kf)) continue;
+        cv::Point2f r =
+            kf->cam.Project(kf->tcw * p->pos) - kf->keypoints[idx].pt;
+        errs.push_back(std::sqrt(r.dot(r)));
+      }
+    if (!errs.empty()) {
+      auto mid = errs.begin() + errs.size() / 2;
+      std::nth_element(errs.begin(), mid, errs.end());
+      stats.final_med_px = *mid;
+      auto p95 = errs.begin() + static_cast<size_t>(errs.size() * 0.95);
+      std::nth_element(errs.begin(), p95, errs.end());
+      stats.final_p95_px = *p95;
+    }
+  }
   return stats;
 }
 

@@ -2,6 +2,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <limits>
 #include <random>
 
 namespace romap {
@@ -294,6 +295,166 @@ double OptimizeSim3Graph(std::vector<Sim3>* poses,
     if (converged) break;
   }
   return chi2;
+}
+
+int RefineSim3(Sim3* s12, const std::vector<cv::Vec3d>& x1,
+               const std::vector<cv::Vec3d>& x2,
+               const std::vector<cv::Point2f>& px1,
+               const std::vector<cv::Point2f>& px2,
+               const std::vector<char>& use, const CameraModel& cam1,
+               const CameraModel& cam2, const std::vector<cv::Vec3d>& x2f,
+               const std::vector<cv::Point2f>& px1f, int iters,
+               float huber_px) {
+  Sim3 S = *s12;
+  const double hub = huber_px;
+
+  // drop correspondences without positive depth on both sides at the
+  // initial estimate; during optimization a step that pushes a survivor
+  // behind a camera makes the cost infinite (step rejected). Without the
+  // wall the objective has a gradient-free escape valley: scale -> inf
+  // saturates every reverse residual while the forward projection
+  // degenerates to a rotation-only fit (observed: a 1.27-scale loop
+  // "refined" to 5.9e12).
+  const Sim3 S21_0 = S.inverse();
+  std::vector<cv::Vec3d> bx1, bx2, fx2_v;
+  std::vector<cv::Point2f> bpx1, bpx2, fpx1_v;
+  for (size_t k = 0; k < x1.size(); ++k) {
+    if (!use.empty() && !use[k]) continue;
+    if ((S * x2[k])[2] < 1e-3 || (S21_0 * x1[k])[2] < 1e-3) continue;
+    bx1.push_back(x1[k]);
+    bx2.push_back(x2[k]);
+    bpx1.push_back(px1[k]);
+    bpx2.push_back(px2[k]);
+  }
+  for (size_t k = 0; k < x2f.size(); ++k) {
+    if ((S * x2f[k])[2] < 1e-3) continue;
+    fx2_v.push_back(x2f[k]);
+    fpx1_v.push_back(px1f[k]);
+  }
+  if (bx1.empty() && fx2_v.empty()) return 0;
+
+  // one residual block: point y = T(x), observed at `obs` through `cam`.
+  // jx = d(T(x))/d(delta) columns [omega | nu | sigma]; accumulates the
+  // Huber-weighted normal equations and returns the robust cost.
+  auto accumulate = [&](const cv::Vec3d& y, const cv::Point2f& obs,
+                        const CameraModel& cam, const cv::Matx33d& jw,
+                        const cv::Matx33d& jn, const cv::Vec3d& js,
+                        cv::Matx<double, 7, 7>* H, cv::Vec<double, 7>* g,
+                        double* chi2, int* n_in) {
+    if (y[2] < 1e-4) {
+      *chi2 = std::numeric_limits<double>::infinity();
+      return;
+    }
+    const double zi = 1.0 / y[2];
+    const cv::Matx23d jp(cam.fx * zi, 0, -cam.fx * y[0] * zi * zi, 0,
+                         cam.fy * zi, -cam.fy * y[1] * zi * zi);
+    const cv::Vec2d r(cam.fx * y[0] * zi + cam.cx - obs.x,
+                      cam.fy * y[1] * zi + cam.cy - obs.y);
+    const double e = cv::norm(r);
+    const double w = e <= hub ? 1.0 : hub / e;
+    *chi2 += e <= hub ? e * e : hub * (2 * e - hub);
+    if (n_in && e <= hub) ++(*n_in);
+    cv::Matx<double, 2, 7> J;
+    const cv::Matx23d jrw = jp * jw, jrn = jp * jn;
+    const cv::Vec2d jrs = jp * js;
+    for (int rr = 0; rr < 2; ++rr) {
+      for (int c = 0; c < 3; ++c) {
+        J(rr, c) = jrw(rr, c);
+        J(rr, c + 3) = jrn(rr, c);
+      }
+      J(rr, 6) = jrs[rr];
+    }
+    *H += (J.t() * J) * w;
+    *g += (J.t() * r) * w;
+  };
+
+  // robust cost + normal equations at a candidate transform.
+  // forward: y = Exp(delta) * St * x2 -> cam1 vs px1
+  //   d y/d omega = -[y]x, /d nu = I, /d sigma = y      (left perturbation)
+  // reverse: z = St21 * Exp(-delta) * x1 -> cam2 vs px2
+  //   d z/d omega = s21*R21*[x1]x, /d nu = -s21*R21, /d sigma = -s21*R21*x1
+  auto build = [&](const Sim3& St, cv::Matx<double, 7, 7>* H,
+                   cv::Vec<double, 7>* g, int* n_in) {
+    double cur = 0;
+    const Sim3 St21 = St.inverse();
+    const cv::Matx33d mR21 = St21.s * St21.R;
+    for (size_t k = 0; k < bx1.size() && std::isfinite(cur); ++k) {
+      const cv::Vec3d y = St * bx2[k];
+      accumulate(y, bpx1[k], cam1, -Skew(y), cv::Matx33d::eye(), y, H, g,
+                 &cur, n_in);
+      const cv::Vec3d z = St21 * bx1[k];
+      accumulate(z, bpx2[k], cam2, mR21 * Skew(bx1[k]), -mR21,
+                 -(mR21 * bx1[k]), H, g, &cur, nullptr);
+    }
+    for (size_t k = 0; k < fx2_v.size() && std::isfinite(cur); ++k) {
+      const cv::Vec3d y = St * fx2_v[k];
+      accumulate(y, fpx1_v[k], cam1, -Skew(y), cv::Matx33d::eye(), y, H, g,
+                 &cur, n_in);
+    }
+    return cur;
+  };
+
+  // Levenberg-Marquardt: every candidate step's cost is evaluated before
+  // acceptance, so an ill-conditioned system (gauge-weak directions are
+  // common when all matches lie on a shallow surface patch) raises lambda
+  // instead of propagating a divergent/NaN update into the result.
+  cv::Matx<double, 7, 7> H = cv::Matx<double, 7, 7>::zeros();
+  cv::Vec<double, 7> g;
+  for (int k = 0; k < 7; ++k) g[k] = 0;
+  int n_inliers = 0;
+  double chi2 = build(S, &H, &g, &n_inliers);
+  if (!std::isfinite(chi2)) return 0;
+  double lambda = 1e-4;
+  for (int it = 0; it < iters; ++it) {
+    cv::Matx<double, 7, 7> Hd = H;
+    cv::Vec<double, 7> gd = g;
+    for (int d = 0; d < 7; ++d) Hd(d, d) = H(d, d) * (1.0 + lambda) + 1e-12;
+    // the scale stays PINNED at the input (3D-3D Umeyama consensus) value:
+    // loop-view pairs have nearly coincident camera centers, so the
+    // reprojection objective is almost flat in scale (the reverse residual
+    // is EXACTLY scale-invariant: proj(lambda*v) = proj(v)), and even a
+    // strong log-scale prior loses to the Huber-linear cost of wrong guided
+    // matches (observed 1.27 "refined" to 29.6, then 8.7 with a 5% prior).
+    // The 3D-3D alignment is the one scale-observable measurement; this
+    // polish spends its freedom on rotation/translation only.
+    for (int d = 0; d < 7; ++d) Hd(6, d) = Hd(d, 6) = 0.0;
+    Hd(6, 6) = 1.0;
+    gd[6] = 0.0;
+    bool ok = false;
+    const cv::Vec<double, 7> delta = -(Hd.inv(cv::DECOMP_CHOLESKY, &ok) * gd);
+    if (!ok || !std::isfinite(cv::norm(delta))) {
+      lambda *= 10.0;
+      if (lambda > 1e8) break;
+      continue;
+    }
+    Sim3Tangent tang;  // [u, w, lambda_scale] ordering of Sim3Exp
+    for (int k = 0; k < 3; ++k) {
+      tang[k] = delta[k + 3];  // nu
+      tang[k + 3] = delta[k];  // omega
+    }
+    tang[6] = delta[6];
+    const Sim3 S_try = Sim3Exp(tang) * S;
+    cv::Matx<double, 7, 7> H2 = cv::Matx<double, 7, 7>::zeros();
+    cv::Vec<double, 7> g2;
+    for (int k = 0; k < 7; ++k) g2[k] = 0;
+    int n2 = 0;
+    const double c2 = build(S_try, &H2, &g2, &n2);
+    if (std::isfinite(c2) && c2 < chi2) {
+      const bool converged = chi2 - c2 < 1e-10 * std::max(1.0, chi2);
+      S = S_try;
+      chi2 = c2;
+      H = H2;
+      g = g2;
+      n_inliers = n2;
+      lambda = std::max(lambda * 0.3, 1e-7);
+      if (converged) break;
+    } else {
+      lambda *= 10.0;
+      if (lambda > 1e8) break;
+    }
+  }
+  *s12 = S;
+  return n_inliers;
 }
 
 }  // namespace romap

@@ -774,8 +774,10 @@ void Tracker::MappingStep(KeyFrame* kf, const cv::Mat& rgb,
       ++loops_closed_;
       if (std::getenv("ROMAP_SLAM_DEBUG"))
         std::printf(
-            "[loop kf=%ld] matched kf=%ld inliers=%d scale=%.4f drift=%.1fpx\n",
-            kf->id, lres.matched->id, lres.inliers, lres.s12.s, lres.drift_px);
+            "[loop kf=%ld t=%.1f] matched kf=%ld t=%.1f inliers=%d scale=%.4f "
+            "drift=%.1fpx\n",
+            kf->id, kf->timestamp, lres.matched->id, lres.matched->timestamp,
+            lres.inliers, lres.s12.s, lres.drift_px);
       if (!mapping_async_) {
         cur_.tcw = kf->tcw;      // the tracker's view of this frame moved
         has_velocity_ = false;   // the motion model is stale after the jump

@@ -221,6 +221,183 @@ int RunTwoObjects() {
   return 0;
 }
 
+// Exploratory ring: the camera circles inside a dotted wall cylinder,
+// looking radially outward — structure leaves the view, then the start
+// region is re-seen after a full revolution. With loop closing enabled the
+// detector must FIRE through the production Tracker path (MappingStep ->
+// LoopCloser::Process), correct the junction drift (~30 px), and leave a
+// self-consistent map (global BA converges to ~1 px RMSE).
+//
+// Measured honestly (ARCHITECTURE decision record): on THIS noise-free
+// synthetic the no-loop odometry barely drifts (Sim3-aligned ATE ~0.06 m),
+// and the closure's redistribution noise lands the corrected map at
+// ~0.2-0.27 m (1.3% of the 19 m trajectory — ORB-SLAM-typical territory).
+// Loop closing pays off on genuinely drifting sequences; the bound below
+// asserts the machinery is SOUND (fires once, doesn't tear or re-tear the
+// map), not that it beats a near-perfect baseline. Knobs for drift studies:
+// ROMAP_RING_DOTS (sparser texture -> more drift, but the self-similar
+// dots alias ORB descriptors and starve Sim3 RANSAC below ~5000),
+// ROMAP_RING_NOISE (image noise sigma; >4 breaks ORB on this texture),
+// ROMAP_NO_LOOP / ROMAP_LOOP_NO_GBA / ROMAP_LOOP_NO_FUSE /
+// ROMAP_LOOP_FORCE_UNIT_SCALE (stage isolation).
+int RunLoopRing(bool async) {
+  // wall cylinder radius 6 dotted with random sprites; camera circle r=3
+  std::mt19937 rng(9);
+  std::uniform_real_distribution<float> uphi(0, 2 * static_cast<float>(M_PI));
+  std::uniform_real_distribution<float> uz(-1.3f, 1.3f);
+  std::uniform_int_distribution<int> shade(30, 220);
+  std::vector<Vec3> dots;
+  std::vector<int> dot_shade;
+  const int n_dots = std::getenv("ROMAP_RING_DOTS")
+                         ? std::atoi(std::getenv("ROMAP_RING_DOTS"))
+                         : 6500;
+  for (int i = 0; i < n_dots; ++i) {
+    float phi = uphi(rng);
+    dots.push_back({6.0f * std::cos(phi), 6.0f * std::sin(phi), uz(rng)});
+    dot_shade.push_back(shade(rng));
+  }
+  CameraModel cam{520, 520, 320, 240, 0, 0, W, H};
+  // ~400 frames/revolution keeps per-frame image motion near the matcher's
+  // comfort zone (~12 px: 6 px translation + 6 px rotation at f=520, z=3)
+  constexpr int kFramesPerRev = 400;
+  auto ring_pose = [](int i) {  // camera-to-world
+    float th = 2.0f * static_cast<float>(M_PI) * i / kFramesPerRev;
+    SE3 twc;
+    const Vec3 x(-std::sin(th), std::cos(th), 0);  // tangent
+    const Vec3 y(0, 0, 1);
+    const Vec3 z(std::cos(th), std::sin(th), 0);  // radial outward = view
+    for (int r = 0; r < 3; ++r) {
+      twc.R(r, 0) = x[r];
+      twc.R(r, 1) = y[r];
+      twc.R(r, 2) = z[r];
+    }
+    twc.t = Vec3(3 * std::cos(th), 3 * std::sin(th), 0);
+    return twc;
+  };
+  // sensor noise makes the odometry drift for real (a noise-free render
+  // tracks almost perfectly, leaving a loop closure nothing to fix);
+  // ROMAP_RING_NOISE overrides the sigma (0 = clean)
+  const double noise_sigma =
+      std::getenv("ROMAP_RING_NOISE") ? std::atof(std::getenv("ROMAP_RING_NOISE")) : 0.0;
+  cv::RNG noise_rng(77);
+  auto render = [&](const SE3& twc, cv::Mat* gray) {
+    SE3 tcw = twc.inverse();
+    *gray = cv::Mat(H, W, CV_8UC1, cv::Scalar(235));
+    for (size_t i = 0; i < dots.size(); ++i) {
+      Vec3 c = tcw * dots[i];
+      if (c[2] < 0.3f) continue;
+      cv::Point2f uv = cam.Project(c);
+      if (uv.x < -5 || uv.y < -5 || uv.x > W + 5 || uv.y > H + 5) continue;
+      int r = std::max(2, static_cast<int>(9.0f / c[2]));
+      cv::circle(*gray, uv, r, cv::Scalar(dot_shade[i]), -1);
+    }
+    if (noise_sigma > 0) {
+      cv::Mat n(H, W, CV_16SC1);
+      noise_rng.fill(n, cv::RNG::NORMAL, 0, noise_sigma);
+      cv::Mat g16;
+      gray->convertTo(g16, CV_16SC1);
+      g16 += n;
+      g16.convertTo(*gray, CV_8UC1);  // saturating
+    }
+  };
+
+  TrackingConfig cfg;
+  cfg.cam = cam;
+  cfg.max_frames_between_kf = 5;
+  // ROMAP_NO_LOOP=1 runs the same ring without the closer (drift A/B);
+  // ROMAP_LOOP_NO_GBA=1 skips the post-graph global BA (stage isolation)
+  cfg.enable_loop_closing = std::getenv("ROMAP_NO_LOOP") == nullptr;
+  cfg.loop.run_global_ba = std::getenv("ROMAP_LOOP_NO_GBA") == nullptr;
+  Tracker tracker(cfg);
+  if (async) tracker.StartMapping();
+
+  const int n_frames = kFramesPerRev + 60;  // full revolution + revisit arc
+  std::vector<SE3> gt, est;
+  int tracked = 0;
+  for (int i = 0; i < n_frames; ++i) {
+    SE3 twc = ring_pose(i);
+    cv::Mat gray;
+    render(twc, &gray);
+    cv::Mat instance = cv::Mat::zeros(H, W, CV_8UC1);
+    auto pose = tracker.Track(gray, instance, {}, i * 0.1, gray);
+    if (pose) {
+      ++tracked;
+      gt.push_back(twc.inverse());
+      est.push_back(*pose);
+    }
+  }
+  if (async) tracker.StopMapping();
+  std::printf("[loop-ring] tracked %d/%d, %zu keyframes, loops closed %ld\n",
+              tracked, n_frames, tracker.map().KeyFrames().size(),
+              tracker.loops_closed());
+  CHECK(tracked > n_frames * 3 / 4);
+  if (!std::getenv("ROMAP_NO_LOOP")) CHECK(tracker.loops_closed() >= 1);
+
+  // Sim(3)-aligned ATE (Umeyama, the TUM-benchmark convention — same math
+  // as the Python eval harness) over the final recomposed trajectory: the
+  // loop correction must leave a consistent map, not tear it.
+  auto snap = tracker.Snapshot();
+  CHECK(!snap.trajectory.empty());
+  std::vector<Vec3> gt_c, est_c;
+  for (const auto& s : snap.trajectory) {
+    int idx = static_cast<int>(s.t / 0.1 + 0.5);
+    gt_c.push_back(ring_pose(idx).t);           // GT camera center
+    est_c.push_back(s.tcw.inverse().t);         // estimated camera center
+  }
+  const size_t n = gt_c.size();
+  cv::Vec3d mx(0, 0, 0), my(0, 0, 0);
+  for (size_t k = 0; k < n; ++k) {
+    mx += cv::Vec3d(gt_c[k][0], gt_c[k][1], gt_c[k][2]);
+    my += cv::Vec3d(est_c[k][0], est_c[k][1], est_c[k][2]);
+  }
+  mx /= static_cast<double>(n);
+  my /= static_cast<double>(n);
+  cv::Matx33d cov = cv::Matx33d::zeros();
+  double var_y = 0;
+  for (size_t k = 0; k < n; ++k) {
+    const cv::Vec3d dx = cv::Vec3d(gt_c[k][0], gt_c[k][1], gt_c[k][2]) - mx;
+    const cv::Vec3d dy = cv::Vec3d(est_c[k][0], est_c[k][1], est_c[k][2]) - my;
+    cov += dx * dy.t();
+    var_y += dy.dot(dy);
+  }
+  cov *= 1.0 / n;
+  var_y /= n;
+  cv::Matx33d u, vt;
+  cv::Matx31d w;
+  cv::SVD::compute(cov, w, u, vt);
+  cv::Matx33d d = cv::Matx33d::eye();
+  if (cv::determinant(u * vt) < 0) d(2, 2) = -1;
+  const cv::Matx33d rot = u * d * vt;
+  const double scale = (w(0) * d(0, 0) + w(1) * d(1, 1) + w(2) * d(2, 2)) /
+                       std::max(var_y, 1e-12);
+  const cv::Vec3d trans = mx - scale * (rot * my);
+  double ate = 0;
+  for (size_t k = 0; k < n; ++k) {
+    const cv::Vec3d y(est_c[k][0], est_c[k][1], est_c[k][2]);
+    const cv::Vec3d e =
+        cv::Vec3d(gt_c[k][0], gt_c[k][1], gt_c[k][2]) - (scale * (rot * y) + trans);
+    ate += cv::norm(e);
+  }
+  ate /= n;
+  if (std::getenv("ROMAP_RING_PROFILE")) {  // aligned error along the ring
+    for (size_t k = 0; k < n; k += 25) {
+      const cv::Vec3d y(est_c[k][0], est_c[k][1], est_c[k][2]);
+      const cv::Vec3d e = cv::Vec3d(gt_c[k][0], gt_c[k][1], gt_c[k][2]) -
+                          (scale * (rot * y) + trans);
+      std::printf("[ring-profile] t=%.1f err=%.3f\n", snap.trajectory[k].t,
+                  cv::norm(e));
+    }
+  }
+  std::printf("[loop-ring] scale %.3f, Sim3-aligned ATE %.3f m over %zu frames\n",
+              scale, ate, n);
+  // run-to-run spread (especially --async: the correction lands mid-stream
+  // on the mapping thread) observed 0.20-0.40 m; no-loop baseline ~0.06 m.
+  // This bounds "sound, not torn", per the header comment.
+  CHECK(ate < 0.45);
+  std::printf("[loop-ring] OK\n");
+  return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -230,6 +407,13 @@ int main(int argc, char** argv) {
   bool async = argc > 1 && std::string(argv[1]) == "--async";
   if (argc > 1 && std::string(argv[1]) == "--two") {
     int rc = RunTwoObjects();
+    if (rc == 0) std::printf("tracking_test: ALL OK\n");
+    return rc;
+  }
+  // --loop [--async]: exploratory ring — the loop closer must fire through
+  // the production MappingStep path and leave a consistent map
+  if (argc > 1 && std::string(argv[1]) == "--loop") {
+    int rc = RunLoopRing(argc > 2 && std::string(argv[2]) == "--async");
     if (rc == 0) std::printf("tracking_test: ALL OK\n");
     return rc;
   }
