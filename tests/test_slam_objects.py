@@ -49,6 +49,19 @@ def test_loop_closing_cpp():
 
 
 @pytest.mark.skipif(shutil.which("cmake") is None, reason="no cmake")
+def test_loop_ring_e2e_cpp():
+    """Full ring revolution through the production MappingStep->LoopCloser
+    path: the closure must fire exactly once, correct the junction drift,
+    and leave a Sim3-aligned-consistent map (tracking_test --loop)."""
+    _build_native()
+    out = subprocess.run([os.path.join(BUILD, "tracking_test"), "--loop"],
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, f"stdout={out.stdout} stderr={out.stderr}"
+    assert "ALL OK" in out.stdout
+    assert "loops closed 1" in out.stdout
+
+
+@pytest.mark.skipif(shutil.which("cmake") is None, reason="no cmake")
 def test_tracking_cpp_two_objects():
     """Same-class objects must be associated apart (IoU + shared points +
     t-test) and localized individually, never merged."""
