@@ -88,16 +88,23 @@ Sim3RansacResult SolveSim3Ransac(const std::vector<cv::Vec3d>& x1,
                                  const CameraModel& cam2, int iters = 300,
                                  float px_thresh = 4.0f, uint32_t seed = 42);
 
-// Gauss-Newton polish of a RANSAC Sim3 (the reference's
-// Optimizer::OptimizeSim3, ref src/LoopClosing.cc:327-341): minimizes
-// Huber-robustified bidirectional reprojection error over the inlier
-// correspondences (x1 ~ S12 * x2, observed at px1/px2), plus optional
-// forward-only matches (x2f projected through S12 against px1f — the wider
-// projection-verified set that has no reverse observation). A 3-point
-// minimal-set RANSAC scale is noisy (observed 5% off on a 30 px-drift
-// loop); distributing that error around the cycle warps the whole map, so
-// the polish here is load-bearing, not cosmetic. Returns the final inlier
-// count under `huber_px`.
+// Levenberg-Marquardt polish of a RANSAC Sim3's ROTATION and TRANSLATION
+// (the reference's Optimizer::OptimizeSim3, ref src/LoopClosing.cc:327-341):
+// minimizes Huber-robustified bidirectional reprojection error over the
+// inlier correspondences (x1 ~ S12 * x2, observed at px1/px2), plus
+// optional forward-only matches (x2f projected through S12 against px1f —
+// the wider projection-verified set that has no reverse observation).
+//
+// The SCALE is deliberately NOT optimized — it stays pinned at the input
+// value (the caller's full-consensus Umeyama 3D-3D estimate, which
+// SolveSim3Ransac already refits on all inliers). Loop view pairs have
+// nearly coincident camera centers, so the reprojection objective is
+// almost flat in scale (the reverse residual is EXACTLY scale-invariant:
+// proj(lambda*v) = proj(v)); unpinned GN walked a 1.27-scale loop to 29.6,
+// and even a 5%-sigma log-scale prior lost to the Huber-linear cost of
+// wrong guided matches. The 3D-3D alignment is the one scale-observable
+// measurement at a loop junction. Returns the final inlier count under
+// `huber_px`.
 int RefineSim3(Sim3* s12, const std::vector<cv::Vec3d>& x1,
                const std::vector<cv::Vec3d>& x2,
                const std::vector<cv::Point2f>& px1,

@@ -198,11 +198,9 @@ bool LoopCloser::ComputeSim3(
                 ransac.s12.s);
   if (ransac.n_inliers < cfg_.min_sim3_inliers) return false;
 
-  // First polish of the minimal-set RANSAC estimate over its inliers (ref
-  // Optimizer::OptimizeSim3, src/LoopClosing.cc:327-341): the 3-point scale
-  // is the noisiest Sim3 component, and a few-% scale error distributed
-  // around the loop cycle warps the whole map worse than the drift being
-  // corrected.
+  // First rotation/translation polish of the RANSAC estimate over its
+  // inliers (ref Optimizer::OptimizeSim3, src/LoopClosing.cc:327-341);
+  // the scale keeps the consensus Umeyama value, see RefineSim3's header.
   Sim3 s12_refined = ransac.s12;
   RefineSim3(&s12_refined, x1, x2, px1, px2, ransac.inliers, kf->cam,
              cand->cam);
@@ -210,9 +208,10 @@ bool LoopCloser::ComputeSim3(
   // second stage (ref SearchBySim3 + second OptimizeSim3 + the >= 40 gate,
   // src/LoopClosing.cc:343-399): project the WIDER loop neighborhood's map
   // points through the polished estimate into the current keyframe, re-match
-  // by descriptor, and polish again over the expanded correspondence set —
-  // dozens-to-hundreds of matches where RANSAC had ~30, which is what pins
-  // the weakly-observable scale. The match count is also the verification
+  // by descriptor, and polish rotation/translation again over the expanded
+  // correspondence set (the scale stays the RANSAC-consensus Umeyama value
+  // throughout — see RefineSim3's header for why reprojection cannot
+  // observe it at a loop junction). The match count is the verification
   // gate: a marginal RANSAC consensus on a degenerate point set dies here.
   std::set<MapPoint*, ById> loop_points;
   for (MapPoint* p : cand->points)
@@ -223,6 +222,20 @@ bool LoopCloser::ComputeSim3(
   const SE3 t1w_corr = (s12_refined * Sim3::FromSE3(cand->tcw)).ToSE3();
   std::map<int, std::pair<int, MapPoint*>> hit;  // keypoint -> (dist, point)
   const float r2 = cfg_.projection_radius_px * cfg_.projection_radius_px;
+  // cell-bucketed keypoint index: querying a 3x3 cell neighborhood per
+  // projection keeps this O(|loop points| x window) instead of
+  // O(|loop points| x |keypoints|) — this runs on the mapping thread for
+  // every surviving candidate
+  const float cell = std::max(8.0f, cfg_.projection_radius_px);
+  const int gw = static_cast<int>(kf->cam.max_x / cell) + 1;
+  const int gh = static_cast<int>(kf->cam.max_y / cell) + 1;
+  std::vector<std::vector<int>> grid(static_cast<size_t>(gw) * gh);
+  for (size_t i = 0; i < kf->keypoints.size(); ++i) {
+    const cv::Point2f& pt = kf->keypoints[i].pt;
+    const int cx = std::min(gw - 1, std::max(0, static_cast<int>(pt.x / cell)));
+    const int cy = std::min(gh - 1, std::max(0, static_cast<int>(pt.y / cell)));
+    grid[static_cast<size_t>(cy) * gw + cx].push_back(static_cast<int>(i));
+  }
   for (MapPoint* p : loop_points) {
     const Vec3 c = t1w_corr * p->pos;
     if (c[2] <= 1e-6f) continue;
@@ -231,16 +244,21 @@ bool LoopCloser::ComputeSim3(
         proj.y >= kf->cam.max_y)
       continue;
     int best = -1, bd = kOrbDistLow + 1;
-    for (size_t i = 0; i < kf->keypoints.size(); ++i) {
-      const cv::Point2f d = kf->keypoints[i].pt - proj;
-      if (d.x * d.x + d.y * d.y > r2) continue;
-      const int dist = Hamming32(kf->descriptors.ptr<uint8_t>(i),
-                                 p->descriptor.ptr<uint8_t>(0));
-      if (dist < bd) {
-        bd = dist;
-        best = static_cast<int>(i);
-      }
-    }
+    const int pcx = static_cast<int>(proj.x / cell);
+    const int pcy = static_cast<int>(proj.y / cell);
+    for (int cy = std::max(0, pcy - 1); cy <= std::min(gh - 1, pcy + 1); ++cy)
+      for (int cx = std::max(0, pcx - 1); cx <= std::min(gw - 1, pcx + 1);
+           ++cx)
+        for (int i : grid[static_cast<size_t>(cy) * gw + cx]) {
+          const cv::Point2f d = kf->keypoints[i].pt - proj;
+          if (d.x * d.x + d.y * d.y > r2) continue;
+          const int dist = Hamming32(kf->descriptors.ptr<uint8_t>(i),
+                                     p->descriptor.ptr<uint8_t>(0));
+          if (dist < bd) {
+            bd = dist;
+            best = i;
+          }
+        }
     if (best < 0) continue;
     auto it = hit.find(best);
     if (it == hit.end() || bd < it->second.first) hit[best] = {bd, p};

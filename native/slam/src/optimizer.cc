@@ -84,12 +84,25 @@ BAStats LocalBundleAdjust(const std::vector<KeyFrame*>& kfs,
   // the actual objective, not the linearized one
   auto compute_chi2 = [&]() {
     double chi2 = 0;
+    // Behind-camera cost is mode-dependent. In no-strip mode (loop-closure
+    // global BA) it must exceed any plausible Huber cost: a torn-map
+    // residual of e px costs ~2*huber*e, so a cheap constant is undercut
+    // once e is large, and an LM step that shoves those points behind
+    // their cameras would be "accepted" while the linearization (which
+    // skips z<0.05) can never pull them back — silently amputating exactly
+    // the loop-constraint residuals no-strip mode exists to preserve. In
+    // strip mode (the windowed-BA polish) behind-camera observations are
+    // wrong associations about to be stripped; a prohibitive wall there
+    // only vetoes steps that fix everything else.
+    const double behind_cost = strip_outliers
+                                   ? 4.0 * huber_px * huber_px
+                                   : huber_px * (2.0 * 20000.0 - huber_px);
     for (MapPoint* p : pts) {
       for (const auto& [kf, idx] : p->obs) {
         if (!pose_idx.count(kf)) continue;
         Vec3 pc = kf->tcw * p->pos;
         if (pc[2] < 0.05f) {
-          chi2 += 4.0 * huber_px * huber_px;  // behind-camera penalty
+          chi2 += behind_cost;
           continue;
         }
         cv::Point2f r = kf->cam.Project(pc) - kf->keypoints[idx].pt;
@@ -269,7 +282,8 @@ BAStats LocalBundleAdjust(const std::vector<KeyFrame*>& kfs,
   // strip gross-outlier observations (wrong data associations drag the
   // window; the reference removes chi2 outliers after LocalBA the same way)
   int stripped = 0;
-  for (MapPoint* p : strip_outliers ? pts : std::vector<MapPoint*>{}) {
+  for (MapPoint* p : pts) {
+    if (!strip_outliers) break;
     for (auto it = p->obs.begin(); it != p->obs.end();) {
       KeyFrame* kf = it->first;
       if (!pose_idx.count(kf)) {

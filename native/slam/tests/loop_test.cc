@@ -13,6 +13,7 @@
 #include "romap/loop_closing.h"
 #include "romap/map.h"
 #include "romap/sim3.h"
+#include "align_util.h"
 
 #define CHECK(cond)                                                        \
   do {                                                                     \
@@ -46,44 +47,7 @@ double PoseErr(const Sim3& a, const Sim3& b) {
   return cv::norm(d);
 }
 
-// Umeyama Sim(3)-aligned ATE between camera-center sets (the TUM-benchmark
-// convention; matches the Python eval harness and tracking_test --loop).
-// A loop-closed monocular map is only defined up to a similarity gauge —
-// raw world-frame differences conflate gauge with inconsistency.
-double AlignedATE(const std::vector<cv::Vec3d>& gt,
-                  const std::vector<cv::Vec3d>& est) {
-  const size_t n = gt.size();
-  cv::Vec3d mx(0, 0, 0), my(0, 0, 0);
-  for (size_t k = 0; k < n; ++k) {
-    mx += gt[k];
-    my += est[k];
-  }
-  mx *= 1.0 / n;
-  my *= 1.0 / n;
-  cv::Matx33d cov = cv::Matx33d::zeros();
-  double var_y = 0;
-  for (size_t k = 0; k < n; ++k) {
-    cov += (gt[k] - mx) * (est[k] - my).t();
-    var_y += (est[k] - my).dot(est[k] - my);
-  }
-  cov *= 1.0 / n;
-  var_y /= n;
-  cv::Mat u, d, vt;
-  cv::SVD::compute(cv::Mat(cov), d, u, vt, cv::SVD::FULL_UV);
-  cv::Matx33d U(u.ptr<double>()), Vt(vt.ptr<double>());
-  cv::Vec3d D(d.ptr<double>());
-  cv::Matx33d fix = cv::Matx33d::eye();
-  if (cv::determinant(cv::Mat(U)) * cv::determinant(cv::Mat(Vt)) < 0) {
-    fix(2, 2) = -1;
-    D[2] = -D[2];
-  }
-  const cv::Matx33d R = U * fix * Vt;
-  const double s = (D[0] + D[1] + D[2]) / std::max(var_y, 1e-12);
-  const cv::Vec3d t = mx - s * (R * my);
-  double ate = 0;
-  for (size_t k = 0; k < n; ++k) ate += cv::norm(gt[k] - (s * (R * est[k]) + t));
-  return ate / n;
-}
+using romap_test::AlignedATE;
 
 int TestExpLog() {
   for (int i = 0; i < 200; ++i) {

@@ -12,6 +12,7 @@
 #include <opencv2/imgproc.hpp>
 
 #include "romap/tracking.h"
+#include "align_util.h"
 
 #define CHECK(cond)                                                        \
   do {                                                                     \
@@ -312,19 +313,13 @@ int RunLoopRing(bool async) {
   if (async) tracker.StartMapping();
 
   const int n_frames = kFramesPerRev + 60;  // full revolution + revisit arc
-  std::vector<SE3> gt, est;
   int tracked = 0;
   for (int i = 0; i < n_frames; ++i) {
     SE3 twc = ring_pose(i);
     cv::Mat gray;
     render(twc, &gray);
     cv::Mat instance = cv::Mat::zeros(H, W, CV_8UC1);
-    auto pose = tracker.Track(gray, instance, {}, i * 0.1, gray);
-    if (pose) {
-      ++tracked;
-      gt.push_back(twc.inverse());
-      est.push_back(*pose);
-    }
+    if (tracker.Track(gray, instance, {}, i * 0.1, gray)) ++tracked;
   }
   if (async) tracker.StopMapping();
   std::printf("[loop-ring] tracked %d/%d, %zu keyframes, loops closed %ld\n",
@@ -338,58 +333,24 @@ int RunLoopRing(bool async) {
   // loop correction must leave a consistent map, not tear it.
   auto snap = tracker.Snapshot();
   CHECK(!snap.trajectory.empty());
-  std::vector<Vec3> gt_c, est_c;
+  std::vector<cv::Vec3d> gt_c, est_c;
   for (const auto& s : snap.trajectory) {
     int idx = static_cast<int>(s.t / 0.1 + 0.5);
-    gt_c.push_back(ring_pose(idx).t);           // GT camera center
-    est_c.push_back(s.tcw.inverse().t);         // estimated camera center
+    const Vec3 g = ring_pose(idx).t;         // GT camera center
+    const Vec3 e = s.tcw.inverse().t;        // estimated camera center
+    gt_c.push_back({g[0], g[1], g[2]});
+    est_c.push_back({e[0], e[1], e[2]});
   }
   const size_t n = gt_c.size();
-  cv::Vec3d mx(0, 0, 0), my(0, 0, 0);
-  for (size_t k = 0; k < n; ++k) {
-    mx += cv::Vec3d(gt_c[k][0], gt_c[k][1], gt_c[k][2]);
-    my += cv::Vec3d(est_c[k][0], est_c[k][1], est_c[k][2]);
-  }
-  mx /= static_cast<double>(n);
-  my /= static_cast<double>(n);
-  cv::Matx33d cov = cv::Matx33d::zeros();
-  double var_y = 0;
-  for (size_t k = 0; k < n; ++k) {
-    const cv::Vec3d dx = cv::Vec3d(gt_c[k][0], gt_c[k][1], gt_c[k][2]) - mx;
-    const cv::Vec3d dy = cv::Vec3d(est_c[k][0], est_c[k][1], est_c[k][2]) - my;
-    cov += dx * dy.t();
-    var_y += dy.dot(dy);
-  }
-  cov *= 1.0 / n;
-  var_y /= n;
-  cv::Matx33d u, vt;
-  cv::Matx31d w;
-  cv::SVD::compute(cov, w, u, vt);
-  cv::Matx33d d = cv::Matx33d::eye();
-  if (cv::determinant(u * vt) < 0) d(2, 2) = -1;
-  const cv::Matx33d rot = u * d * vt;
-  const double scale = (w(0) * d(0, 0) + w(1) * d(1, 1) + w(2) * d(2, 2)) /
-                       std::max(var_y, 1e-12);
-  const cv::Vec3d trans = mx - scale * (rot * my);
-  double ate = 0;
-  for (size_t k = 0; k < n; ++k) {
-    const cv::Vec3d y(est_c[k][0], est_c[k][1], est_c[k][2]);
-    const cv::Vec3d e =
-        cv::Vec3d(gt_c[k][0], gt_c[k][1], gt_c[k][2]) - (scale * (rot * y) + trans);
-    ate += cv::norm(e);
-  }
-  ate /= n;
+  const romap_test::Sim3Alignment align = romap_test::AlignSim3(gt_c, est_c);
+  const double ate = align.ate;
   if (std::getenv("ROMAP_RING_PROFILE")) {  // aligned error along the ring
-    for (size_t k = 0; k < n; k += 25) {
-      const cv::Vec3d y(est_c[k][0], est_c[k][1], est_c[k][2]);
-      const cv::Vec3d e = cv::Vec3d(gt_c[k][0], gt_c[k][1], gt_c[k][2]) -
-                          (scale * (rot * y) + trans);
+    for (size_t k = 0; k < n; k += 25)
       std::printf("[ring-profile] t=%.1f err=%.3f\n", snap.trajectory[k].t,
-                  cv::norm(e));
-    }
+                  cv::norm(gt_c[k] - align.Apply(est_c[k])));
   }
   std::printf("[loop-ring] scale %.3f, Sim3-aligned ATE %.3f m over %zu frames\n",
-              scale, ate, n);
+              align.scale, ate, n);
   // run-to-run spread (especially --async: the correction lands mid-stream
   // on the mapping thread) observed 0.20-0.40 m; no-loop baseline ~0.06 m.
   // This bounds "sound, not torn", per the header comment.

@@ -58,7 +58,7 @@ def test_loop_ring_e2e_cpp():
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, f"stdout={out.stdout} stderr={out.stderr}"
     assert "ALL OK" in out.stdout
-    assert "loops closed 1" in out.stdout
+    assert "loops closed 1\n" in out.stdout  # exactly one ("closed 12" fails)
 
 
 @pytest.mark.skipif(shutil.which("cmake") is None, reason="no cmake")
