@@ -42,11 +42,22 @@ PLATFORM_FLAG=""
 PYTHONPATH="$REPO:$PYTHONPATH" python -m romap_tpu.runtime.server \
   --socket "$SOCK" --final-waves "$FINALW" $PLATFORM_FLAG > "$OUT/server.log" 2>&1 &
 SRV=$!
-trap "kill $SRV 2>/dev/null || true" EXIT
+echo "$SRV" > "$OUT/server.pid"
+MONO=""
+# Kill both children on ANY exit path. TERM/INT are trapped explicitly:
+# bash does not run the EXIT trap on an untrapped fatal signal, which used
+# to orphan the server (holding the TPU) when a caller's `timeout` fired.
+cleanup() { [ -n "$MONO" ] && kill "$MONO" 2>/dev/null; kill "$SRV" 2>/dev/null; rm -f "$OUT/server.pid"; return 0; }
+trap cleanup EXIT
+trap 'cleanup; exit 143' TERM INT
 for i in $(seq 1 120); do [ -S "$SOCK" ] && break; sleep 1; done
 
 echo "== running mono_tum (SLAM + online NeRF) =="
-"$REPO/native/build/mono_tum" "$DATASET" "$SOCK" "$ITERS" "$OUT"
+# Run in the background and `wait` (interruptible) — a foreground child
+# would defer bash's signal traps until it exited on its own.
+"$REPO/native/build/mono_tum" "$DATASET" "$SOCK" "$ITERS" "$OUT" & MONO=$!
+wait "$MONO"
+MONO=""
 
 echo "== artifacts =="
 ls "$OUT"

@@ -39,28 +39,36 @@ class EncodingConfig:
     log2_hashmap_size: int = 16
     base_resolution: int = 16
     desired_resolution: float = 2048.0
-    # mxgrid knobs — flagship defaults picked by the round-3..5 speed/quality
+    # mxgrid knobs — flagship defaults picked by the round-3..8 speed/quality
     # ladders on v5e (QUALITY.json): CP 6 levels to 192 @ 48ch + one
-    # (128,128,4) plane level runs 628 obj-iters/s with a 5000-step PSNR of
-    # 29.12 dB — ABOVE the tcnn-semantics hash grid anchor (29.05 dB), well
-    # inside BASELINE.md's 0.5 dB parity budget. The walls are measured:
-    # k32 (28.39) and p3 (28.44) both fall below the 28.55 dB parity floor,
-    # and the previous cp256_k64 flagship was slower (560-581) AND lower
-    # quality (28.95). Raising planes to (128,8) buys +0.3 dB at ~30% cost
-    # if quality headroom matters; dropping planes entirely (852 obj-iters/s)
-    # loses ~0.8 dB and breaks the parity budget.
+    # RECTANGULAR (128,64,4) plane level with balanced axis assignment runs
+    # ~750 obj-iters/s (vs 628 for the square (128,128,4) it replaced) at a
+    # 5000-step seed-0 PSNR of 28.81 dB — 0.24 dB under the tcnn-semantics
+    # hash grid anchor (29.05), inside BASELINE.md's 0.5 dB parity budget;
+    # 3-seed mean is 25.95 vs 26.22 for square (−0.27 dB, ≈ the 0.3 dB seed
+    # spread). The walls are measured: CP k32 (28.39) and p3 (28.44) fall
+    # below the 28.55 parity floor; rv=48 (27.80 uuv) degrades too far;
+    # rv=96 is slower AND no better (28.13 balanced); 6 plane channels lose
+    # both speed and quality. The square (128,128,4) level remains the
+    # quality-headroom option (+0.3 dB seed-0 at ~19% cost).
     mx_levels: int = 6
     mx_max_resolution: int = 192
     mx_features: int = 48
     # VM plane-x-line components (TensoRF-style): restore full-rank texture
-    # capacity that rank-limited CP lines lack. 0 disables.
-    mx_plane_res: int = 128
+    # capacity that rank-limited CP lines lack. An int is a square plane;
+    # an (ru, rv) pair is rectangular — on TPU the u axis contracts on the
+    # MXU while v reduces on the VPU, so rv < ru trades v-detail for
+    # near-linear speedup (flagship: (128, 64)). features 0 disables.
+    mx_plane_res: int | tuple[int, int] = (128, 64)
     mx_plane_features: int = 4
-    # Multi-level plane ladder ((res, feats), ...) — overrides the single
-    # mx_plane_res/mx_plane_features level when set. Multi-scale planes cost
-    # R^2*K per level, so e.g. ((64,8),(128,8)) has ~2.6x less compute than
-    # one (128,16) level at equal channel count.
-    mx_plane_specs: tuple[tuple[int, int], ...] | None = None
+    # Multi-level plane ladder — overrides the single mx_plane_res/
+    # mx_plane_features level when set. Entries are (res, feats) squares or
+    # (ru, rv, feats) rectangles.
+    mx_plane_specs: tuple[tuple[int, ...], ...] | None = None
+    # Plane-pair axis assignment: "uuv" (pairs contract x,x,y on the MXU) or
+    # "balanced" (every axis gets one fine-u and one coarse-v appearance —
+    # matters for rectangular planes where rv < ru, where "uuv" starves z).
+    mx_plane_axes: str = "balanced"
     # "auto": fused Pallas kernel on TPU, chunked XLA elsewhere;
     # "pallas" / "xla" force an implementation.
     mx_impl: str = "auto"
@@ -76,7 +84,10 @@ class EncodingConfig:
         if self.mx_plane_specs is not None:
             return tuple(tuple(p) for p in self.mx_plane_specs)
         if self.mx_plane_features > 0:
-            return ((self.mx_plane_res, self.mx_plane_features),)
+            r = self.mx_plane_res
+            ru, rv = (r, r) if isinstance(r, int) else tuple(r)
+            if ru > 0:
+                return ((ru, rv, self.mx_plane_features),)
         return ()
 
     @property
@@ -92,15 +103,18 @@ class EncodingConfig:
     @property
     def n_output_dims(self) -> int:
         if self.kind == "mxgrid":
-            return self.mx_features + 3 * sum(k for _, k in self.plane_specs)
+            # plane specs are (res, k) pairs or rectangular (ru, rv, k)
+            # triples — channels are always the last element
+            return self.mx_features + 3 * sum(p[-1] for p in self.plane_specs)
         return self.n_levels * self.n_features_per_level
 
     @classmethod
     def preset(cls, name: str) -> "EncodingConfig":
         """Named speed/quality points from the v5e ladder (QUALITY.json).
 
-        flagship — default: 628 obj-iters/s, 29.12 dB @ 5000 steps (beats
-                   the tcnn anchor, QUALITY.json speeds_r5/psnr).
+        flagship — default: ~729 obj-iters/s (headline bench), 28.81 dB
+                   @ 5000 steps seed-0 (QUALITY.json speeds_r8/psnr_multiseed;
+                   0.24 dB under the tcnn anchor, inside the 0.5 dB budget).
         fast     — CP-only, 852 obj-iters/s, 28.26 dB (outside the 0.5 dB
                    parity budget; for throughput-bound many-object scenes).
         quality  — cp256_k64 + (128,8) planes, 434 obj-iters/s, 29.29 dB
@@ -113,7 +127,7 @@ class EncodingConfig:
             "fast": cls(mx_max_resolution=256, mx_features=64,
                         mx_plane_specs=()),
             "quality": cls(mx_max_resolution=256, mx_features=64,
-                           mx_plane_features=8),
+                           mx_plane_res=128, mx_plane_features=8),
             "tcnn": cls(kind="hashgrid"),
         }
         if name not in presets:

@@ -60,6 +60,7 @@ def make_field_spec(cfg: NerfConfig):
             max_resolution=cfg.encoding.mx_max_resolution,
             features=cfg.encoding.mx_features,
             plane_specs=cfg.encoding.plane_specs,
+            plane_axes=cfg.encoding.mx_plane_axes,
         )
     return hashgrid.make_spec(cfg.encoding)
 

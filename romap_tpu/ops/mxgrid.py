@@ -59,6 +59,13 @@ class MXGridSpec:
     # plane pair = K * res_u * B(res_v) MACs on TPU) while v reduces on the
     # VPU — rectangular planes buy v-detail nearly free.
     plane_specs: tuple[tuple[int, int, int], ...] = ()  # ((ru, rv, k), ...)
+    # (u, v, orthogonal-line) axis assignment of the three plane pairs.
+    # Default "uuv" contracts x,x,y on the MXU (u) — with rectangular
+    # planes (rv < ru) that starves z (it only ever appears as a coarse v
+    # axis). "balanced" = ((0,1,2),(2,0,1),(1,2,0)) gives every axis one
+    # fine-u and one coarse-v appearance.
+    plane_axes: tuple[tuple[int, int, int], ...] = (
+        (0, 1, 2), (0, 2, 1), (1, 2, 0))
 
     @property
     def plane_out_dims(self) -> int:
@@ -78,6 +85,7 @@ def make_mxspec(
     plane_res: int = 0,
     plane_features: int = 0,
     plane_specs: tuple[tuple[int, int], ...] | None = None,
+    plane_axes: str = "uuv",
 ) -> MXGridSpec:
     if n_levels > 1:
         b = (max_resolution / base_resolution) ** (1.0 / (n_levels - 1))
@@ -94,9 +102,11 @@ def make_mxspec(
     norm = tuple(
         (p[0], p[0], p[1]) if len(p) == 2 else tuple(p) for p in plane_specs
     )
+    axes = {"uuv": ((0, 1, 2), (0, 2, 1), (1, 2, 0)),
+            "balanced": ((0, 1, 2), (2, 0, 1), (1, 2, 0))}[plane_axes]
     return MXGridSpec(
         resolutions=res, features=features, offsets=tuple(offsets), total_res=off,
-        chunk=chunk, plane_specs=norm,
+        chunk=chunk, plane_specs=norm, plane_axes=axes,
     )
 
 
@@ -163,7 +173,7 @@ def _encode_chunk(factors, pts: jax.Array, spec: MXGridSpec) -> jax.Array:
     c = pts.shape[0]
     blocks = [out]
     for lvl, (ru, rv, kp) in enumerate(spec.plane_specs):
-        for i, (u, v, w) in enumerate(_PLANE_AXES):
+        for i, (u, v, w) in enumerate(spec.plane_axes):
             hu = _hat1(pts[:, u], ru)  # [C, Ru]
             hv = _hat1(pts[:, v], rv)
             t = jnp.dot(hu, factors["planes"][lvl][i].reshape(ru, rv * kp),

@@ -55,7 +55,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from romap_tpu.ops.mxgrid import _PLANE_AXES, MXGridSpec
+from romap_tpu.ops.mxgrid import MXGridSpec
 
 import os
 
@@ -116,8 +116,14 @@ def _hat1_t(xd, r: int, dtype, rows: int | None = None):
 
 def _plane_block(r: int) -> int:
     """Per-channel v-block: r padded to a sublane-tile multiple so
-    [K*B, T] -> [K, B, T] reshapes never touch the minor (lane) dim."""
-    return _round_up(r, 128)
+    [K*B, T] -> [K, B, T] reshapes never touch the minor (lane) dim.
+
+    16 = the bf16 sublane tile (fp32 needs only 8; 16 keeps K*B aligned for
+    bf16 parameter arrays too). The original conservative 128 made every
+    rectangular-plane level pay a full 128-row v extent in the MXU matmul
+    — at rv=64 that doubled the plane FLOPs for nothing (measured: the r4
+    rect64x128 ladder point showed zero speedup over square planes)."""
+    return _round_up(r, 16)
 
 
 def _dot_t(a, b):
@@ -143,7 +149,7 @@ def _cp_fwd_body(x_ref, a_ref, b_ref, w_ref, afac_ref):
         ).astype(afac_ref.dtype)
 
 
-def _plane_fwd_body(plane_specs, x_ref, planes_refs, plines_refs,
+def _plane_fwd_body(plane_specs, plane_axes, x_ref, planes_refs, plines_refs,
                     fpl_ref, fli_ref, out_ref=None, out_off=0):
     """Per level/pair: f_pl (plane sample) and f_li (line sample) residuals;
     when `out_ref` is given, also writes their product at row out_off+row
@@ -153,7 +159,7 @@ def _plane_fwd_body(plane_specs, x_ref, planes_refs, plines_refs,
     row = 0
     for lvl, (ru, rv, kp) in enumerate(plane_specs):
         bb = _plane_block(rv)
-        for i, (u, v, w) in enumerate(_PLANE_AXES):
+        for i, (u, v, w) in enumerate(plane_axes):
             hu = _hat1_t(x_ref[u, :], ru, mm)  # [Ru, T]
             hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)  # [B, T]
             t_all = jnp.dot(
@@ -197,8 +203,8 @@ def _cp_grad_body(x_ref, a_ref, b_ref, afac_ref, g, dw_ref):
         dw_ref[d] += _dot_t(u, hat)  # [K, RP]
 
 
-def _plane_grad_body(plane_specs, x_ref, fpl_ref, fli_ref, g_ref, g_off,
-                     dplanes_refs, dplines_refs):
+def _plane_grad_body(plane_specs, plane_axes, x_ref, fpl_ref, fli_ref, g_ref,
+                     g_off, dplanes_refs, dplines_refs):
     """dP/dL accumulation for every plane level/pair. `g_off` is the row of
     g_ref where the plane block starts (0 for the split kernel, K for the
     fused one)."""
@@ -207,7 +213,7 @@ def _plane_grad_body(plane_specs, x_ref, fpl_ref, fli_ref, g_ref, g_off,
     row = 0
     for lvl, (ru, rv, kp) in enumerate(plane_specs):
         bb = _plane_block(rv)
-        for i, (u, v, w) in enumerate(_PLANE_AXES):
+        for i, (u, v, w) in enumerate(plane_axes):
             gi = g_ref[g_off + row : g_off + row + kp, :].astype(jnp.float32)
             f_pl = fpl_ref[row : row + kp, :].astype(jnp.float32)
             f_li = fli_ref[row : row + kp, :].astype(jnp.float32)
@@ -236,20 +242,20 @@ def _bwd_cp_kernel(x_ref, a_ref, b_ref, afac_ref, g_ref, dw_ref):
 # --------------------------------------------------------------------------
 
 
-def _make_fwd_planes_kernel(plane_specs):
+def _make_fwd_planes_kernel(plane_specs, plane_axes):
     n_lvl = len(plane_specs)
 
     def kernel(x_ref, *refs):
         planes_refs = refs[:n_lvl]  # each [3, Kp*B, R]
         plines_refs = refs[n_lvl : 2 * n_lvl]  # each [3, Kp, R]
         fpl_ref, fli_ref = refs[2 * n_lvl], refs[2 * n_lvl + 1]
-        _plane_fwd_body(plane_specs, x_ref, planes_refs, plines_refs,
-                        fpl_ref, fli_ref)
+        _plane_fwd_body(plane_specs, plane_axes, x_ref, planes_refs,
+                        plines_refs, fpl_ref, fli_ref)
 
     return kernel
 
 
-def _make_fused_fwd_kernel(plane_specs, k_cp: int):
+def _make_fused_fwd_kernel(plane_specs, plane_axes, k_cp: int):
     """CP + planes + their output products in ONE kernel: loads the point
     tile once and writes the final concatenated features directly, so XLA
     never re-reads the axis factors to form A0*A1*A2 (saves two full passes
@@ -269,8 +275,8 @@ def _make_fused_fwd_kernel(plane_specs, k_cp: int):
         out_ref[:k_cp, :] = prod.astype(out_ref.dtype)
 
         # VM planes (fpl/fli saved for bwd; product appended to out)
-        _plane_fwd_body(plane_specs, x_ref, planes_refs, plines_refs,
-                        fpl_ref, fli_ref, out_ref, k_cp)
+        _plane_fwd_body(plane_specs, plane_axes, x_ref, planes_refs,
+                        plines_refs, fpl_ref, fli_ref, out_ref, k_cp)
 
     return kernel
 
@@ -306,7 +312,7 @@ def _fused_forward(factors, xt, npad, spec: MXGridSpec, interpret: bool):
     )
     dt = lines.dtype
     return pl.pallas_call(
-        _make_fused_fwd_kernel(spec.plane_specs, k),
+        _make_fused_fwd_kernel(spec.plane_specs, spec.plane_axes, k),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -320,7 +326,7 @@ def _fused_forward(factors, xt, npad, spec: MXGridSpec, interpret: bool):
     )(xt, a[:, None], b[:, None], w_t, *planes, *plines)
 
 
-def _make_fused_bwd_kernel(plane_specs, k_cp: int):
+def _make_fused_bwd_kernel(plane_specs, plane_axes, k_cp: int):
     """CP + plane parameter gradients in ONE kernel: the point tile and the
     cotangent tile are loaded once, all accumulators live across the
     sequential grid. Pairs with the fused forward (residual padding = CP
@@ -339,8 +345,8 @@ def _make_fused_bwd_kernel(plane_specs, k_cp: int):
                 r[...] = jnp.zeros_like(r)
 
         _cp_grad_body(x_ref, a_ref, b_ref, afac_ref, g_ref[:k_cp, :], dw_ref)
-        _plane_grad_body(plane_specs, x_ref, fpl_ref, fli_ref, g_ref, k_cp,
-                         dplanes_refs, dplines_refs)
+        _plane_grad_body(plane_specs, plane_axes, x_ref, fpl_ref, fli_ref,
+                         g_ref, k_cp, dplanes_refs, dplines_refs)
 
     return kernel
 
@@ -366,7 +372,7 @@ def _fused_backward(factors, xt, npad, afac, fpl, fli, g_t,
     out_shapes = [jax.ShapeDtypeStruct((3, k, rp), jnp.float32)]
     out_shapes += dplane_shapes + dpline_shapes
     return pl.pallas_call(
-        _make_fused_bwd_kernel(spec.plane_specs, k),
+        _make_fused_bwd_kernel(spec.plane_specs, spec.plane_axes, k),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -384,7 +390,7 @@ def _fused_backward(factors, xt, npad, afac, fpl, fli, g_t,
     )(xt, a[:, None], b[:, None], afac, fpl, fli, g_t)
 
 
-def _make_bwd_planes_kernel(plane_specs):
+def _make_bwd_planes_kernel(plane_specs, plane_axes):
     n_lvl = len(plane_specs)
 
     def kernel(x_ref, fpl_ref, fli_ref, g_ref, *drefs):
@@ -396,8 +402,8 @@ def _make_bwd_planes_kernel(plane_specs):
             for r in drefs:
                 r[...] = jnp.zeros_like(r)
 
-        _plane_grad_body(plane_specs, x_ref, fpl_ref, fli_ref, g_ref, 0,
-                         dplanes_refs, dplines_refs)
+        _plane_grad_body(plane_specs, plane_axes, x_ref, fpl_ref, fli_ref,
+                         g_ref, 0, dplanes_refs, dplines_refs)
 
     return kernel
 
@@ -474,7 +480,7 @@ def _planes_forward(factors, xt, npad, spec: MXGridSpec, interpret: bool):
     out_spec = pl.BlockSpec((kout, PLANE_TILE), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_fwd_planes_kernel(spec.plane_specs),
+        _make_fwd_planes_kernel(spec.plane_specs, spec.plane_axes),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=(out_spec, out_spec),
@@ -583,7 +589,7 @@ def _bwd_impl_t(factors, pts, res, g_in, spec: MXGridSpec, interpret: bool):
         for ru, rv, kk in spec.plane_specs
     ]
     outs = pl.pallas_call(
-        _make_bwd_planes_kernel(spec.plane_specs),
+        _make_bwd_planes_kernel(spec.plane_specs, spec.plane_axes),
         grid=(grid_pl,),
         in_specs=[
             pl.BlockSpec((3, PLANE_TILE), lambda i: (0, i),

@@ -14,6 +14,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # quality_ladder
 
 from romap_tpu.config import NerfConfig
 from romap_tpu.data.world import build_synthetic_world
@@ -30,6 +31,8 @@ def main() -> None:
     v = bench(label, NerfConfig(train=BF16), objs, store.arrays())
     print(json.dumps({"label": label, "knobs": knobs,
                       "obj_iters_per_s": v}), flush=True)
+    if v <= 0.0:  # bench() swallows exceptions and returns 0.0
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -42,9 +42,16 @@ def main():
     frames = store.arrays()
     state0 = nerf.init_train_state(jax.random.PRNGKey(0), N_OBJ, cfg, spec)
 
-    # full step chain
-    bench("train_objects", lambda: nerf.train_objects(
-        state0, objs, frames, cfg, spec, ITERS))
+    # full step chain — train_objects DONATES its state, so the state must
+    # be threaded through calls (reusing state0 trips a deleted-buffer error
+    # on TPU; CPU silently ignores donation, which hid this)
+    st = [state0]
+
+    def step_chain():
+        st[0] = nerf.train_objects(st[0], objs, frames, cfg, spec, ITERS)
+        return st[0].loss
+
+    bench("train_objects", step_chain)
 
     # batch generation only, loop-carried on the rng key
     @jax.jit

@@ -18,26 +18,34 @@ for SEED in "$@"; do
     echo "== $MODE seed $SEED: already done =="
     continue
   fi
+  # a previous timed-out run may have left its server holding the TPU
+  if [ -f "$OUT/server.pid" ]; then
+    kill "$(cat "$OUT/server.pid")" 2>/dev/null || true
+    rm -f "$OUT/server.pid"; sleep 2
+  fi
   echo "== $MODE seed $SEED =="
   ENV=(ROMAP_DEMO_SEED="$SEED" ROMAP_DEMO_SPARSE_DEPTH=1 ROMAP_NO_VIDEO=1)
   [ "$MODE" = dense ] && ENV+=(ROMAP_DENSE_VIEWS=1)
-  env "${ENV[@]}" timeout 1500 "$REPO/examples/run_online_demo.sh" \
+  # -k 30: SIGKILL grace period; the demo script traps TERM and kills its
+  # server + mono_tum children (the EXIT trap alone never ran on timeout)
+  env "${ENV[@]}" timeout -k 30 1500 "$REPO/examples/run_online_demo.sh" \
     "$OUT" 300 tpu || echo "(run failed: $MODE seed $SEED)"
+  # only append a row when eval.json exists — failed runs are retried on
+  # the next invocation (appending error rows would duplicate keys)
+  if [ -f "$OUT/eval.json" ]; then
   python - "$ROOT/study.jsonl" "$MODE" "$SEED" "$OUT/eval.json" <<'EOF'
 import json, sys
 path, mode, seed, ev = sys.argv[1:]
 row = {"mode": mode, "seed": int(seed)}
-try:
-    d = json.load(open(ev))
-    agg, objs = d.get("aggregate", {}), d.get("objects", {})
-    row["psnr_db"] = agg.get("mean_psnr_db")
-    row["mask_iou"] = agg.get("mean_mask_iou")
-    ssims = [m["ssim"] for m in objs.values() if m.get("ssim") is not None]
-    row["ssim"] = round(sum(ssims) / len(ssims), 4) if ssims else None
-except Exception as e:
-    row["error"] = str(e)
+d = json.load(open(ev))
+agg, objs = d.get("aggregate", {}), d.get("objects", {})
+row["psnr_db"] = agg.get("mean_psnr_db")
+row["mask_iou"] = agg.get("mean_mask_iou")
+ssims = [m["ssim"] for m in objs.values() if m.get("ssim") is not None]
+row["ssim"] = round(sum(ssims) / len(ssims), 4) if ssims else None
 with open(path, "a") as f:
     f.write(json.dumps(row) + "\n")
 print("recorded:", row)
 EOF
+  fi
 done

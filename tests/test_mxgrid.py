@@ -92,7 +92,9 @@ def test_encoding_presets():
     assert flagship == EncodingConfig()
     assert EncodingConfig.preset("fast").plane_specs == ()
     q = EncodingConfig.preset("quality")
-    assert q.plane_specs == ((128, 8),) and q.n_output_dims == 88
+    # single-level knobs normalize to (ru, rv, k) triple form
+    assert q.plane_specs == ((128, 128, 8),) and q.n_output_dims == 88
+    assert flagship.plane_specs == ((128, 64, 4),)  # rect flagship
     assert EncodingConfig.preset("tcnn").kind == "hashgrid"
     try:
         EncodingConfig.preset("nope")

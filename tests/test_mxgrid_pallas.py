@@ -154,6 +154,33 @@ def test_rect_planes_forward_and_grad_match_xla():
                                    atol=1e-3)
 
 
+def test_balanced_axes_forward_and_grad_match_xla():
+    """plane_axes="balanced" (every axis one fine-u + one coarse-v slot) —
+    pallas vs XLA, and the assignment must actually differ from "uuv"."""
+    mk = lambda axes: mxgrid.make_mxspec(
+        n_levels=2, base_resolution=4, max_resolution=16, features=8,
+        plane_specs=((24, 8, 4),), plane_axes=axes)
+    s = mk("balanced")
+    assert s.plane_axes == ((0, 1, 2), (2, 0, 1), (1, 2, 0))
+    assert s.plane_axes != mk("uuv").plane_axes
+    factors = mxgrid.init_mxgrid(jax.random.PRNGKey(12), s)
+    pts = jnp.asarray(RNG.uniform(0, 1, (530, 3)), jnp.float32)
+    want = np.asarray(mxgrid.encode(factors, pts, s))
+    got = np.asarray(mxgrid_pallas.encode(factors, pts, s, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+    # the balanced assignment must not silently equal uuv numerically
+    s_uuv = mk("uuv")
+    assert not np.allclose(want, np.asarray(mxgrid.encode(factors, pts, s_uuv)))
+
+    tgt = jnp.asarray(RNG.normal(size=(530, s.n_output_dims)), jnp.float32)
+    g_xla = jax.grad(lambda f: jnp.sum((mxgrid.encode(f, pts, s) - tgt) ** 2))(factors)
+    g_pl = jax.grad(lambda f: jnp.sum(
+        (mxgrid_pallas.encode(f, pts, s, interpret=True) - tgt) ** 2))(factors)
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-3)
+
+
 def test_transposed_encode_and_mlp_match_untransposed():
     """encode_t + apply_mlp_t must equal encode + apply_mlp (the training
     path runs fully transposed, points in lanes)."""
