@@ -257,6 +257,10 @@ int main(int argc, char** argv) {
   // Default off = reference behavioral parity: the reference ships
   // LoopClosing.cc but starves it (ref src/LocalMapping.cc:100-101).
   cfg.enable_loop_closing = std::getenv("ROMAP_LOOP_CLOSING") != nullptr;
+  // ROMAP_MAX_BEHIND=N: mapping-thread backpressure bound (-1 = unbounded,
+  // the pre-round-4 behavior; see TrackingConfig::max_kf_behind)
+  if (const char* mb = std::getenv("ROMAP_MAX_BEHIND"))
+    cfg.max_kf_behind = std::atoi(mb);
   if (argc <= 3) train_iters = ds.train_step_iterations;
   Tracker tracker(cfg);
   tracker.StartMapping();  // mapping thread (ref System.cc:84-96)
@@ -702,9 +706,10 @@ int main(int argc, char** argv) {
     if (sp.frames > 0)
       std::printf(
           "tracking split (mean ms/frame): build %.1f, match %.1f, "
-          "objects %.1f, keyframe %.1f\n",
+          "objects %.1f, keyframe %.1f, map-wait %.1f\n",
           sp.build / sp.frames / 1e3, sp.match / sp.frames / 1e3,
-          sp.objects / sp.frames / 1e3, sp.keyframe / sp.frames / 1e3);
+          sp.objects / sp.frames / 1e3, sp.keyframe / sp.frames / 1e3,
+          sp.wait / sp.frames / 1e3);
   }
   if (seq_s > 0)
     std::printf("real-time factor: %.2fx (%.1fs sequence in %.1fs wall)\n",

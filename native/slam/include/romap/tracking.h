@@ -60,6 +60,15 @@ struct TrackingConfig {
   // (ref src/LocalMapping.cc:100-101).
   bool enable_loop_closing = false;
   LoopClosingConfig loop;
+  // Async-mapping backpressure: when the mapping thread falls more than
+  // this many keyframes behind (queued + in flight), Track() blocks until
+  // it catches up. The reference instead throttles at the source — KF
+  // creation requires an idle LocalMapping or queue<3 (ref
+  // src/Tracking.cc:1854-1905) — which keeps real time by dropping
+  // supervision; blocking keeps every keyframe and makes results
+  // independent of host speed (on a 1-core box an unbounded queue let
+  // tracking run whole local-BA windows ahead of the map). <0 = unbounded.
+  int max_kf_behind = 2;
 };
 
 // Detection input per frame (from YOLO files / instance masks).
@@ -192,7 +201,7 @@ class Tracker {
   // reference's single tracking median — pinpoints WHERE a frame budget
   // went when the real-time factor slips.
   struct StageSplit {
-    double build = 0, match = 0, objects = 0, keyframe = 0;
+    double build = 0, match = 0, objects = 0, keyframe = 0, wait = 0;
     long frames = 0;
   };
   StageSplit stage_split() const { return stages_; }
@@ -252,11 +261,14 @@ class Tracker {
   std::mutex map_mutex_;  // guards the Map between tracking + mapping
   std::mutex queue_mutex_;
   std::condition_variable queue_cv_;
+  std::condition_variable queue_drain_cv_;  // signaled when a KF finishes
   std::deque<PendingKF> kf_queue_;
+  int mapping_in_flight_ = 0;  // popped but still processing (queue_mutex_)
   bool mapping_finish_ = false;
   std::vector<double> mapping_ms_;  // guarded by queue_mutex_
   double assoc_us_total_ = 0.0;  // tracking thread only
   long assoc_frames_ = 0;
+  long last_reloc_frame_ = -1000;  // frame id of the last relocalization
   StageSplit stages_;  // tracking thread only
 
   // per-object creation-time viewing direction (for the angle trigger)

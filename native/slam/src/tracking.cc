@@ -267,6 +267,7 @@ bool Tracker::Relocalize() {
       if (std::getenv("ROMAP_SLAM_DEBUG"))
         std::printf("[reloc frame %ld] recovered from kf %ld (%d matches%s)\n",
                     cur_.id, kf->id, n, bow ? ", bow" : "");
+      last_reloc_frame_ = cur_.id;
       return true;
     }
   }
@@ -281,12 +282,13 @@ void Tracker::Reset() {
     std::lock_guard<std::mutex> ql(queue_mutex_);
     kf_queue_.clear();  // queued KeyFrame* die with the map
   }
-  // keyframes are about to be freed — freeze prior trajectory entries at
-  // their last composed pose (they can no longer track BA refinements)
-  for (Stamped& st : trajectory_) {
-    if (st.ref_kf) st.tcw = st.t_cr * st.ref_kf->tcw;
-    st.ref_kf = nullptr;
-  }
+  // The reference drops the pre-reset trajectory entirely (ref
+  // src/Tracking.cc:2402-2404 clears the relative-pose lists). Keeping
+  // them frozen mixes two monocular gauges in one file — the new map
+  // initializes at an unrelated arbitrary scale, so any Sim(3)-aligned
+  // ATE over the combined trajectory is meaningless (measured: a mid-run
+  // reset scored 1.19 m "ATE" on an otherwise healthy session).
+  trajectory_.clear();
   map_.Clear();
   kfdb_.Clear();  // indexed KeyFrame* die with the map (vocab stays trained)
   recent_points_.clear();
@@ -308,7 +310,15 @@ bool Tracker::TrackLocalMap() {
   int inliers = OptimizePose(&cur_);
   for (size_t i = 0; i < cur_.points.size(); ++i)
     if (cur_.points[i] && !cur_.outlier[i]) cur_.points[i]->n_found++;
-  return inliers >= 15;
+  // Weakly-constrained poses diverge: a 15-inlier frame was measured
+  // emitting a 4.5 m pose outlier into an otherwise 0.05 m-ATE trajectory.
+  // Reference thresholds (ref src/Tracking.cc:1283-1291): <50 inliers soon
+  // after a relocalization, <30 otherwise -> frame fails, tracker falls
+  // back (motion model next frame, or kLost -> relocalize).
+  if (cur_.id < last_reloc_frame_ + 2 * cfg_.max_frames_between_kf &&
+      inliers < 50)
+    return false;
+  return inliers >= 30;
 }
 
 void Tracker::ObjectPipeline(const cv::Mat& /*instance*/) {
@@ -904,6 +914,7 @@ void Tracker::StopMapping() {
     mapping_finish_ = true;
   }
   queue_cv_.notify_all();
+  queue_drain_cv_.notify_all();
   mapping_thread_.join();  // the loop drains the queue before exiting
   mapping_async_ = false;
 }
@@ -920,6 +931,7 @@ void Tracker::MappingLoop() {
       }
       job = std::move(kf_queue_.front());
       kf_queue_.pop_front();
+      ++mapping_in_flight_;
     }
     auto t0 = std::chrono::steady_clock::now();
     MappingStep(job.kf, job.rgb, job.instance, job.lines);
@@ -929,13 +941,15 @@ void Tracker::MappingLoop() {
     {
       std::lock_guard<std::mutex> ql(queue_mutex_);
       mapping_ms_.push_back(ms);
+      --mapping_in_flight_;
     }
+    queue_drain_cv_.notify_all();  // a backpressured Track() may be waiting
   }
 }
 
 size_t Tracker::QueueDepth() {
   std::lock_guard<std::mutex> ql(queue_mutex_);
-  return kf_queue_.size();
+  return kf_queue_.size() + mapping_in_flight_;
 }
 
 std::vector<double> Tracker::mapping_ms() {
@@ -1015,6 +1029,20 @@ std::optional<SE3> Tracker::Track(const cv::Mat& gray, const cv::Mat& instance,
   auto b0 = Clock::now();
   BuildFrame(gray, instance, detections, timestamp);
   stages_.build += us_since(b0);
+
+  // Backpressure BEFORE taking the map lock (the mapper needs it to make
+  // progress): block until the mapping thread is within max_kf_behind
+  // keyframes of the tracker. See TrackingConfig::max_kf_behind.
+  if (mapping_async_ && cfg_.max_kf_behind >= 0) {
+    auto w0 = Clock::now();
+    std::unique_lock<std::mutex> ql(queue_mutex_);
+    queue_drain_cv_.wait(ql, [&] {
+      return mapping_finish_ ||
+             static_cast<int>(kf_queue_.size()) + mapping_in_flight_ <=
+                 cfg_.max_kf_behind;
+    });
+    stages_.wait += us_since(w0);
+  }
 
   std::unique_lock<std::mutex> maplk(map_mutex_, std::defer_lock);
   if (mapping_async_) maplk.lock();
