@@ -62,12 +62,16 @@ def bench(name, cfg, objs, frames):
         return 0.0
 
 
-def quality(name, enc, iters=5000):
-    """Held-out PSNR after `iters` steps at reference batch geometry."""
+def quality(name, enc, iters=5000, seed=0):
+    """Held-out PSNR after `iters` steps at reference batch geometry.
+
+    seed varies the scene draw (single-seed spread is ~0.3 dB — average
+    over >=3 seeds when comparing configs closer than that)."""
     try:
         cfg = NerfConfig(encoding=enc, train=BF16)
         spec = nerf.make_field_spec(cfg)
-        cam, objects, frames, store, objs = build_synthetic_world(1, 24, 192)
+        cam, objects, frames, store, objs = build_synthetic_world(
+            1, 24, 192, seed=seed)
         state = nerf.init_train_state(jax.random.PRNGKey(0), 1, cfg, spec)
         arrays = store.arrays()
         t0 = time.perf_counter()
@@ -99,7 +103,8 @@ def quality(name, enc, iters=5000):
         m = test["instance"][y0:y0 + h, x0:x0 + w] == objects[0].instance_id
         mse = float(np.mean((rgb[m] - gt[m]) ** 2))
         psnr = -10 * float(np.log10(max(mse, 1e-9)))
-        print(json.dumps({"quality": name, "psnr_db": round(psnr, 2),
+        print(json.dumps({"quality": name, "seed": seed,
+                          "psnr_db": round(psnr, 2),
                           "train_s": round(train_s, 1)}), flush=True)
         return psnr
     except Exception as e:
