@@ -391,8 +391,13 @@ int main(int argc, char** argv) {
           dense_pending.erase(dp);
         }
       }
-      std::printf("Create NeRF %d for object %ld (class %d)\n", idx, obj->id,
-                  obj->cls);
+      std::printf(
+          "Create NeRF %d for object %ld (class %d) ext %.3f %.3f %.3f "
+          "(tight %d%d%d) volume %.3f %.3f %.3f\n",
+          idx, obj->id, obj->cls, obj->shape.a1, obj->shape.a2, obj->shape.a3,
+          obj->shape.ext_tight[0] ? 1 : 0, obj->shape.ext_tight[1] ? 1 : 0,
+          obj->shape.ext_tight[2] ? 1 : 0, aabb_half[0], aabb_half[1],
+          aabb_half[2]);
       if (!backlog.empty()) {
         // dense rows observed before the NeRF existed (no wave credit:
         // training budget stays keyframe-driven). Routed through the dense
@@ -407,6 +412,53 @@ int main(int argc, char** argv) {
         dense_cv.notify_one();
       }
       return idx;
+    };
+    tracker.hooks.update_volume = [&](ObjectMap* obj, const Cuboid& probe) {
+      // Grow-only training-volume policy: act when the live cuboid probe
+      // fills >90% of the frozen volume on some axis (the frozen box came
+      // from the creation-time shape, which can be immature — measured a
+      // 2.6x-too-small y axis squashing the field to 7 dB). The re-sent
+      // box uses the same per-axis margin rule as creation; the runtime
+      // re-inits the slot's field and re-credits its spent waves.
+      // Hysteresis is automatic: the new volume is >=10% larger than the
+      // trigger level, so the same probe cannot re-fire.
+      int idx;
+      std::array<float, 3> cur;
+      {
+        std::lock_guard<std::mutex> alk(app_mu);
+        auto it = nerf_idx.find(obj);
+        auto ab = nerf_aabb.find(obj);
+        if (it == nerf_idx.end() || ab == nerf_aabb.end()) return false;
+        idx = it->second;
+        cur = ab->second;
+      }
+      const float pe[3] = {probe.a1, probe.a2, probe.a3};
+      bool overflow = false;
+      for (int a = 0; a < 3; ++a) overflow |= pe[a] > 0.9f * cur[a];
+      if (!overflow) return false;
+      float m[3];
+      for (int a = 0; a < 3; ++a)
+        m[a] = probe.ext_tight[a] ? 1.0f : 1.8f;
+      if (const char* env_m = std::getenv("ROMAP_NERF_MARGIN"))
+        m[0] = m[1] = m[2] = std::atof(env_m);
+      monerf::BoundingBox bb{{-m[0] * probe.a1, -m[1] * probe.a2,
+                              -m[2] * probe.a3},
+                             {m[0] * probe.a1, m[1] * probe.a2,
+                              m[2] * probe.a3}};
+      float aabb_half[3];
+      mgr->UpdateNeRFVolume(static_cast<std::size_t>(idx),
+                            ToMat4(probe.t_obj_w), bb, aabb_half);
+      {
+        std::lock_guard<std::mutex> alk(app_mu);
+        nerf_aabb[obj] = {aabb_half[0], aabb_half[1], aabb_half[2]};
+      }
+      std::printf(
+          "Update NeRF %d volume for object %ld: ext %.3f %.3f %.3f -> "
+          "%.3f %.3f %.3f (tight %d%d%d)\n",
+          idx, obj->id, cur[0], cur[1], cur[2], aabb_half[0], aabb_half[1],
+          aabb_half[2], probe.ext_tight[0] ? 1 : 0, probe.ext_tight[1] ? 1 : 0,
+          probe.ext_tight[2] ? 1 : 0);
+      return true;
     };
     tracker.hooks.update_bboxes =
         [&](ObjectMap* obj, const std::vector<std::array<int64_t, 5>>& rows) {

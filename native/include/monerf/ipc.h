@@ -28,6 +28,7 @@ enum class Op : uint32_t {
   kShutdown = 12,
   kPump = 13,
   kStart = 14,
+  kUpdateVolume = 15,
 };
 
 // Growable little-endian message writer.

@@ -76,6 +76,15 @@ class NerfManagerOnline {
   void UpdateNeRFBbox(std::size_t idx, const std::vector<FrameIdAndBbox>& boxes,
                       int train_step);
 
+  // Beyond the reference (which freezes SetAttributes at creation, ref
+  // nerf.cu:155-176): replace the object's pose + training volume when the
+  // SLAM cuboid outgrows the frozen box. The runtime re-inits that slot's
+  // field (learned content is tied to the old unit-cube warp) and
+  // re-credits the training budget already spent, so the field retrains
+  // from the full accumulated supervision. aabb_half as in CreateNeRF.
+  void UpdateNeRFVolume(std::size_t idx, const Mat4& obj_tow,
+                        const BoundingBox& box, float* aabb_half = nullptr);
+
   // ref GetFrameIdx(timestamp) — -1 when unknown
   int GetFrameIdx(const std::string& timestamp);
 

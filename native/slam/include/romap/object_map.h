@@ -54,6 +54,11 @@ class ObjectMap {
   // Shape: extents of the rotated cloud -> Cuboid (ref CalculateObjectShape
   // :613-672). Frozen once a NeRF owns the object.
   void EstimateShape();
+  // Compute the current cuboid estimate WITHOUT mutating the stored shape
+  // (which freezes once a NeRF owns the box, ref ObjectMap.cc:661-662) —
+  // the grow-triggered training-volume update compares this live probe
+  // against the frozen box. false when no usable points exist.
+  bool ProbeShape(Cuboid* out) const;
 
   // Association: does absorbing ObjFrame's points keep the reprojected
   // point-cloud rect stable (IoU > 0.4)? (ref whetherAssociation :693-757).

@@ -94,6 +94,14 @@ struct NerfHooks {
   // lets the runtime rewrite already-uploaded poses (ref UpdateDataset
   // nerf_manager.cu:220-235 / nerf_data.cu:341-353).
   std::function<void(const std::vector<std::pair<double, SE3>>&)> update_poses;
+  // Fired (from the mapping step) when a NeRF'd object's live cuboid probe
+  // outgrows its frozen shape: the client decides whether the probe still
+  // fits the runtime's training volume and, if not, pushes a volume update
+  // (field re-init). Return true to ADOPT the probe as the object's shape
+  // (keeps SLAM state and the runtime volume in lockstep); false keeps the
+  // frozen shape. Beyond the reference (which freezes SetAttributes at
+  // creation, ref nerf.cu:155-176).
+  std::function<bool(ObjectMap*, const Cuboid&)> update_volume;
   // Fired by the early-loss map reset (ref Tracking.cc:728-737): every
   // ObjectMap*/KeyFrame* the client holds is invalid afterwards.
   std::function<void()> on_reset;

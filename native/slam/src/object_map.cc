@@ -375,21 +375,18 @@ void ObjectMap::EstimatePose(const FrameContext& frame) {
 
 void ObjectMap::EstimateShape() {
   if (bad_ || points.empty()) return;
-  const Mat3& r = t_obj_w.R;
-  float lo[3] = {1e9f, 1e9f, 1e9f}, hi[3] = {-1e9f, -1e9f, -1e9f};
-  for (const MapPoint* p : points) {
-    if (p->bad) continue;
-    Vec3 q = r * p->pos;
-    for (int a = 0; a < 3; ++a) {
-      lo[a] = std::min(lo[a], q[a]);
-      hi[a] = std::max(hi[a], q[a]);
-    }
-  }
   if (first_init) {
     shape.t_obj_w = t_obj_w;
     first_init = false;
   }
   if (have_nerf) return;  // frozen once a NeRF owns the box (ref :661-662)
+  Cuboid probe;
+  if (ProbeShape(&probe)) shape = probe;
+}
+
+bool ObjectMap::ProbeShape(Cuboid* out) const {
+  if (bad_ || points.empty()) return false;
+  const Mat3& r = t_obj_w.R;
 
   // Mirrored extents about the (possibly silhouette-refined) centroid:
   // points live only on the visible surface, so raw lo/hi extents miss the
@@ -411,10 +408,7 @@ void ObjectMap::EstimateShape() {
       dist.push_back(std::abs((r * p->pos)[a] - qc[a]));
     }
     const int n = static_cast<int>(dist.size());
-    if (n == 0) {  // every point flagged bad between culling passes
-      ext[a] = 0.0f;
-      continue;
-    }
+    if (n == 0) return false;  // every point flagged bad between cullings
     const int k = (n >= 30) ? std::max(2, n / 50) : 1;
     std::nth_element(dist.begin(), dist.begin() + (k - 1), dist.end(),
                      std::greater<float>());
@@ -454,18 +448,19 @@ void ObjectMap::EstimateShape() {
         tight[a] = false;
       }
     }
-    shape.ext_tight[a] = tight[a];
+    out->ext_tight[a] = tight[a];
     if (std::getenv("ROMAP_EXT_DEBUG"))
       std::printf("[ext] axis %d sil=%.3f tight=%d -> ext=%.3f\n", a,
                   tight[a] ? sil[a] : -1.0f, tight[a] ? 1 : 0, ext[a]);
   }
   Vec3 t_shape(-qc[0], -qc[1], -qc[2]);
-  shape.t_obj_w = SE3{r, t_shape};
-  shape.a1 = ext[0];
-  shape.a2 = ext[1];
-  shape.a3 = ext[2];
-  shape.max_dist = std::sqrt(shape.a1 * shape.a1 + shape.a2 * shape.a2 +
-                             shape.a3 * shape.a3);
+  out->t_obj_w = SE3{r, t_shape};
+  out->a1 = ext[0];
+  out->a2 = ext[1];
+  out->a3 = ext[2];
+  out->max_dist = std::sqrt(out->a1 * out->a1 + out->a2 * out->a2 +
+                            out->a3 * out->a3);
+  return true;
 }
 
 bool ObjectMap::WhetherAssociation(const ObjectFrame& obj,

@@ -851,6 +851,21 @@ void Tracker::TriggerNerf(KeyFrame* kf) {
         }
       }
     } else {
+      // Grow-triggered volume check: the stored shape froze at creation
+      // (ref ObjectMap.cc:661-662) but the live probe keeps improving as
+      // points accumulate — an immature creation-time shape otherwise
+      // squashes the training volume forever (measured 7 dB vs 24 dB
+      // online). The client owns the margin policy and the hysteresis;
+      // true = it re-sent the volume, adopt the probe so SLAM state and
+      // the runtime stay in lockstep.
+      if (hooks.update_volume) {
+        Cuboid probe;
+        if (obj->ProbeShape(&probe) &&
+            (probe.a1 > obj->shape.a1 || probe.a2 > obj->shape.a2 ||
+             probe.a3 > obj->shape.a3)) {
+          if (hooks.update_volume(obj, probe)) obj->shape = probe;
+        }
+      }
       float cosang = last_pushed_dir_.count(obj)
                          ? dir.dot(last_pushed_dir_[obj])
                          : -1.0f;

@@ -96,6 +96,23 @@ std::size_t NerfManagerOnline::CreateNeRF(int cls, const Mat4& obj_tow,
   return idx;
 }
 
+void NerfManagerOnline::UpdateNeRFVolume(std::size_t idx, const Mat4& obj_tow,
+                                         const BoundingBox& box,
+                                         float* aabb_half) {
+  Writer w;
+  w.i32(static_cast<int32_t>(idx));
+  w.bytes(obj_tow.m, sizeof(obj_tow.m));
+  w.bytes(box.min, sizeof(box.min));
+  w.bytes(box.max, sizeof(box.max));
+  Reader r = client_->call(Op::kUpdateVolume, w);
+  float half[3] = {r.f32(), r.f32(), r.f32()};
+  if (aabb_half) {
+    aabb_half[0] = half[0];
+    aabb_half[1] = half[1];
+    aabb_half[2] = half[2];
+  }
+}
+
 void NerfManagerOnline::UpdateNeRFBbox(std::size_t idx,
                                        const std::vector<FrameIdAndBbox>& boxes,
                                        int train_step) {

@@ -127,9 +127,20 @@ int main(int argc, char** argv) {
       return 1;
     }
 
-    monerf::BoundingBox bb{{-0.4f, -0.4f, -0.4f}, {0.4f, 0.4f, 0.4f}};
+    monerf::BoundingBox bb{{-0.35f, -0.35f, -0.35f}, {0.35f, 0.35f, 0.35f}};
     std::size_t idx = mgr.CreateNeRF(1, monerf::Mat4::Identity(), bb);
     mgr.UpdateNeRFBbox(idx, boxes, /*train_step=*/2);
+    mgr.Pump(-1);
+    // grow-triggered volume replacement: new half-widths come back with the
+    // runtime's 1.1x inflation, and the slot retrains (spent waves
+    // re-credited) — the post-update loss/mesh checks below cover it
+    monerf::BoundingBox bb2{{-0.4f, -0.4f, -0.4f}, {0.4f, 0.4f, 0.4f}};
+    float half[3] = {0, 0, 0};
+    mgr.UpdateNeRFVolume(idx, monerf::Mat4::Identity(), bb2, half);
+    if (std::abs(half[0] - 0.44f) > 1e-4f) {
+      std::fprintf(stderr, "FAIL: UpdateNeRFVolume half %f\n", half[0]);
+      return 1;
+    }
     int waves = mgr.Pump(-1);
     mgr.WaitThreadsEnd();
 

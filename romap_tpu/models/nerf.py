@@ -195,6 +195,19 @@ def init_train_state(
     )
 
 
+def reinit_slot(
+    state: TrainState, key: jax.Array, idx: int, cfg: NerfConfig, spec
+) -> TrainState:
+    """Re-initialize one object row (params/EMA/optimizer/step) in place.
+
+    Used when the object's training volume changes (the learned field is
+    tied to the old unit-cube warp, so its content is meaningless in the
+    new box). Every TrainState leaf carries a leading object axis, so the
+    fresh single-object state scatters in with a row write."""
+    fresh = init_train_state(key, 1, cfg, spec)
+    return jax.tree.map(lambda a, b: a.at[idx].set(b[0]), state, fresh)
+
+
 # --------------------------------------------------------------------------
 # Batch generation (ref GenerateRays nerf_model.cu:369-446)
 # --------------------------------------------------------------------------

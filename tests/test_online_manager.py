@@ -125,6 +125,52 @@ def test_bbox_gate_blocks_training():
     assert int(np.asarray(mgr.state.step)[idx]) == 15
 
 
+def test_update_nerf_volume_reinits_slot_and_recredits():
+    """Grow-triggered volume replacement (beyond ref nerf.cu:155-176, which
+    freezes SetAttributes): the slot's field re-inits, the new box sticks,
+    the spent training budget is re-credited, and the OTHER slot's params
+    are untouched."""
+    cam, objects, frames = make_world(n_frames=14, n_objects=2)
+    mgr = NerfManagerOnline(tiny_cfg(), train_step_iterations=5, capacity=2)
+    mgr.dataset_init(cam.fx, cam.fy, cam.cx, cam.cy, cam.h, cam.w, len(frames))
+    for fi, f in enumerate(frames):
+        mgr.new_frame_to_dataset(fi, f["stamp"], f["rgb"], f["instance"],
+                                 pose=f["twc"])
+    idxs = []
+    for obj in objects:
+        tow = np.eye(4, dtype=np.float32)
+        tow[:3, 3] = -obj.center
+        half = obj.aabb_half_extents()
+        idx = mgr.create_nerf(1, tow, -half, half)
+        rows = [(fi, *frames[fi]["bboxes"][obj.instance_id])
+                for fi in range(14) if frames[fi]["bboxes"][obj.instance_id]]
+        mgr.update_nerf_bbox(idx, rows[:12], 2)
+        idxs.append(idx)
+    assert mgr.pump() == 2
+    steps = np.asarray(mgr.state.step).copy()
+    assert steps[idxs[0]] == 10 and steps[idxs[1]] == 10
+    p_before = np.asarray(jax.tree.leaves(mgr.state.params)[0]).copy()
+
+    # the object "outgrew" its box: push a 1.5x larger volume
+    obj = objects[0]
+    tow = np.eye(4, dtype=np.float32)
+    tow[:3, 3] = -obj.center
+    half = obj.aabb_half_extents() * 1.5
+    mgr.update_nerf_volume(idxs[0], tow, -half, half)
+
+    np.testing.assert_allclose(mgr._objs["aabb_max"][idxs[0]], half * 1.1,
+                               rtol=1e-6)
+    steps2 = np.asarray(mgr.state.step)
+    assert steps2[idxs[0]] == 0  # field re-initialized
+    assert steps2[idxs[1]] == 10  # other slot untouched
+    p_after = np.asarray(jax.tree.leaves(mgr.state.params)[0])
+    assert not np.allclose(p_after[idxs[0]], p_before[idxs[0]])
+    np.testing.assert_array_equal(p_after[idxs[1]], p_before[idxs[1]])
+    # spent waves re-credited: the slot retrains to its old step count
+    assert mgr.pump() == 2
+    assert int(np.asarray(mgr.state.step)[idxs[0]]) == 10
+
+
 def test_capacity_growth():
     cam, objects, frames = make_world(n_frames=6, n_objects=3)
     mgr = NerfManagerOnline(tiny_cfg(), train_step_iterations=2, capacity=2)
