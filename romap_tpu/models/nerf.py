@@ -195,15 +195,18 @@ def init_train_state(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "spec"), donate_argnums=0)
 def reinit_slot(
-    state: TrainState, key: jax.Array, idx: int, cfg: NerfConfig, spec
+    state: TrainState, key: jax.Array, idx: jax.Array, cfg: NerfConfig, spec
 ) -> TrainState:
     """Re-initialize one object row (params/EMA/optimizer/step) in place.
 
     Used when the object's training volume changes (the learned field is
     tied to the old unit-cube warp, so its content is meaningless in the
     new box). Every TrainState leaf carries a leading object axis, so the
-    fresh single-object state scatters in with a row write."""
+    fresh single-object state scatters in with a row write. One jitted
+    program: an eager version dispatched one remote compile per leaf over
+    the axon relay and stalled the online pipeline for minutes."""
     fresh = init_train_state(key, 1, cfg, spec)
     return jax.tree.map(lambda a, b: a.at[idx].set(b[0]), state, fresh)
 
