@@ -164,6 +164,16 @@ class NerfManagerOnline:
             ),
             self.mesh,
         )
+        # warm this capacity's programs (train wave + reinit_slot) while
+        # the frontend is still bootstrapping — over the remote-TPU relay
+        # an inline first compile stalls the serving path for minutes
+        # (CPU compiles are cheap and tests churn managers: skip there)
+        if (jax.default_backend() != "cpu"
+                and self.capacity not in self._precompiled):
+            self._precompiled.add(self.capacity)
+            threading.Thread(
+                target=self._precompile, args=(self.capacity,), daemon=True,
+            ).start()
 
     def new_frame_to_dataset(self, img_id: int, stamp: str, rgb, instance,
                              depth=None, pose=None) -> None:
@@ -267,6 +277,17 @@ class NerfManagerOnline:
                 state_s, objs_s, struct(frames, rep_sh), self.cfg, self.spec,
                 self.iters_per_wave, self.use_depth,
             ).compile()
+            # reinit_slot fires mid-pipeline on the first grow-triggered
+            # volume update; pay its (remote) compile here instead of
+            # inline in the serving path
+            key_s = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+                jax.eval_shape(lambda: jax.random.PRNGKey(0)),
+            )
+            nerf.reinit_slot.lower(
+                state_s, key_s, jax.ShapeDtypeStruct((), np.int32),
+                self.cfg, self.spec,
+            ).compile()
         except Exception as e:  # noqa: BLE001 — warm-up is best-effort
             print(f"[manager] precompile for capacity {cap} failed: {e!r}")
             with self._lock:
@@ -345,7 +366,7 @@ class NerfManagerOnline:
                     nerf.reinit_slot(
                         self.state,
                         jax.random.PRNGKey(self.cfg.seed + 7919 + idx),
-                        idx, self.cfg, self.spec,
+                        np.int32(idx), self.cfg, self.spec,
                     ),
                     self.mesh,
                 )
