@@ -47,7 +47,18 @@ MONO=""
 # Kill both children on ANY exit path. TERM/INT are trapped explicitly:
 # bash does not run the EXIT trap on an untrapped fatal signal, which used
 # to orphan the server (holding the TPU) when a caller's `timeout` fired.
-cleanup() { [ -n "$MONO" ] && kill "$MONO" 2>/dev/null; kill "$SRV" 2>/dev/null; rm -f "$OUT/server.pid"; return 0; }
+# TERM first, then KILL after a grace period: the server can be blocked in
+# a remote-TPU relay call for minutes, during which Python never runs the
+# default TERM handling — an observed leftover server then contends for the
+# TPU with every later run.
+cleanup() {
+  [ -n "$MONO" ] && kill "$MONO" 2>/dev/null
+  kill "$SRV" 2>/dev/null
+  for i in $(seq 1 10); do kill -0 "$SRV" 2>/dev/null || break; sleep 1; done
+  kill -9 "$SRV" 2>/dev/null
+  rm -f "$OUT/server.pid"
+  return 0
+}
 trap cleanup EXIT
 trap 'cleanup; exit 143' TERM INT
 for i in $(seq 1 120); do [ -S "$SOCK" ] && break; sleep 1; done

@@ -273,6 +273,14 @@ int main(int argc, char** argv) {
   // margin), recorded at CreateNeRF: the mesh-extent refinement below must
   // reject axes whose mesh support is clipped by the training aabb itself
   std::map<const ObjectMap*, std::array<float, 3>> nerf_aabb;
+  // per-object probe the training volume was last BUILT from — extents
+  // [0..3) and world-frame center [3..6): the update trigger compares the
+  // live probe against this basis (growth/drift of the estimate itself),
+  // not against the margin-inflated volume — a fill-ratio trigger cannot
+  // serve both margin classes (tight axes sit at 0.909 fill forever; 1.8x
+  // fallback axes sit at ~0.5 and clip before ever reaching a high
+  // threshold), and no extent test at all can see a drifting center
+  std::map<const ObjectMap*, std::array<float, 6>> nerf_basis;
   // Dense-view mode (ROMAP_DENSE_VIEWS=1): ship EVERY tracked frame as NeRF
   // supervision, not just keyframes (the reference trains on keyframes only,
   // ref src/LocalMapping.cc:74-105 — this mode goes beyond it: ~3x the
@@ -385,6 +393,9 @@ int main(int argc, char** argv) {
         std::lock_guard<std::mutex> alk(app_mu);
         nerf_idx[obj] = idx;
         nerf_aabb[obj] = {aabb_half[0], aabb_half[1], aabb_half[2]};
+        const cv::Vec3f c0 = obj->shape.t_obj_w.inverse().t;
+        nerf_basis[obj] = {obj->shape.a1, obj->shape.a2, obj->shape.a3,
+                           c0[0], c0[1], c0[2]};
         auto dp = dense_pending.find(obj);
         if (dp != dense_pending.end()) {
           backlog = std::move(dp->second);
@@ -414,50 +425,87 @@ int main(int argc, char** argv) {
       return idx;
     };
     tracker.hooks.update_volume = [&](ObjectMap* obj, const Cuboid& probe) {
-      // Grow-only training-volume policy: act when the live cuboid probe
-      // fills >90% of the frozen volume on some axis (the frozen box came
-      // from the creation-time shape, which can be immature — measured a
-      // 2.6x-too-small y axis squashing the field to 7 dB). The re-sent
-      // box uses the same per-axis margin rule as creation; the runtime
-      // re-inits the slot's field and re-credits its spent waves.
-      // Hysteresis is automatic: the new volume is >=10% larger than the
-      // trigger level, so the same probe cannot re-fire.
+      // Grow-only training-volume policy: the creation-time box can be
+      // immature (measured a 2.6x-too-small y axis squashing the field to
+      // 7 dB), so track the live cuboid probe and re-send a grown box when
+      // warranted; the runtime re-inits the slot's field and re-credits
+      // its spent waves. Trigger rationale below.
       int idx;
       std::array<float, 3> cur;
+      std::array<float, 6> basis;
       {
         std::lock_guard<std::mutex> alk(app_mu);
         auto it = nerf_idx.find(obj);
         auto ab = nerf_aabb.find(obj);
-        if (it == nerf_idx.end() || ab == nerf_aabb.end()) return false;
+        auto bs = nerf_basis.find(obj);
+        if (it == nerf_idx.end() || ab == nerf_aabb.end() ||
+            bs == nerf_basis.end())
+          return false;
         idx = it->second;
         cur = ab->second;
+        basis = bs->second;
       }
+      // Fire when the probe ESTIMATE changed materially since the volume
+      // was built: an extent grew >10% past its basis, the center drifted
+      // >10% of the largest volume half-width, or an extent is about to
+      // clip the actual volume. Two earlier extent-only triggers both
+      // failed: a 0.9 fill-ratio trigger sat below a tight axis's
+      // steady-state fill (pe = cur/1.1 = 0.909*cur), so millimetre probe
+      // jitter re-fired forever (7 reinits/run); a 0.98 fill trigger never
+      // re-fired a 1.8x-margin fallback axis (steady fill ~0.5), so the
+      // volume froze at the immature creation estimate and clipped the
+      // object (measured: IoU 0.988 -> 0.897). Center drift matters as
+      // much as extents — early cloud centers are biased toward the
+      // visible surface, and a mis-centered volume clips one side however
+      // generous its margins (measured: IoU 0.921 with extents tracked but
+      // the pose frozen early). Comparing against the basis is margin-
+      // blind, and re-firing resets the basis, so jitter (~1%) never loops.
       const float pe[3] = {probe.a1, probe.a2, probe.a3};
-      bool overflow = false;
-      for (int a = 0; a < 3; ++a) overflow |= pe[a] > 0.9f * cur[a];
-      if (!overflow) return false;
+      const cv::Vec3f pc = probe.t_obj_w.inverse().t;
+      // Degenerate-probe gate: a probe whose volume collapsed against the
+      // basis is a measurement failure (late silhouette decay / point
+      // culling), not the object shrinking — never adopt its pose or
+      // extents. Observed: a late probe with extents (0.011,0.036,0.047)
+      // against a (0.11,0.06,0.12) basis and a 9 cm center jump; adopting
+      // it cost 4.5 dB and 8 IoU points.
+      if (pe[0] * pe[1] * pe[2] <
+          0.4f * basis[0] * basis[1] * basis[2])
+        return false;
+      const float drift = static_cast<float>(cv::norm(
+          pc - cv::Vec3f(basis[3], basis[4], basis[5])));
+      const float cur_max = std::max({cur[0], cur[1], cur[2]});
+      bool refire = drift > 0.10f * cur_max;
+      for (int a = 0; a < 3; ++a)
+        refire |= pe[a] > 1.10f * basis[a] || pe[a] > 0.95f * cur[a];
+      if (!refire) return false;
       float m[3];
       for (int a = 0; a < 3; ++a)
         m[a] = probe.ext_tight[a] ? 1.0f : 1.8f;
       if (const char* env_m = std::getenv("ROMAP_NERF_MARGIN"))
         m[0] = m[1] = m[2] = std::atof(env_m);
-      monerf::BoundingBox bb{{-m[0] * probe.a1, -m[1] * probe.a2,
-                              -m[2] * probe.a3},
-                             {m[0] * probe.a1, m[1] * probe.a2,
-                              m[2] * probe.a3}};
+      // Grow-only: axes never shrink below the current volume (a shrink
+      // discards field margin for nothing). cur is post-inflation; the
+      // manager re-applies s on what we send (ref nerf.cu:162-172).
+      const float s = (obj->cls == 41 || obj->cls == 73) ? 1.2f : 1.1f;
+      float half[3];
+      for (int a = 0; a < 3; ++a)
+        half[a] = std::max(m[a] * pe[a], cur[a] / s);
+      monerf::BoundingBox bb{{-half[0], -half[1], -half[2]},
+                             {half[0], half[1], half[2]}};
       float aabb_half[3];
       mgr->UpdateNeRFVolume(static_cast<std::size_t>(idx),
                             ToMat4(probe.t_obj_w), bb, aabb_half);
       {
         std::lock_guard<std::mutex> alk(app_mu);
         nerf_aabb[obj] = {aabb_half[0], aabb_half[1], aabb_half[2]};
+        nerf_basis[obj] = {pe[0], pe[1], pe[2], pc[0], pc[1], pc[2]};
       }
       std::printf(
           "Update NeRF %d volume for object %ld: ext %.3f %.3f %.3f -> "
-          "%.3f %.3f %.3f (tight %d%d%d)\n",
+          "%.3f %.3f %.3f (tight %d%d%d, center drift %.3f)\n",
           idx, obj->id, cur[0], cur[1], cur[2], aabb_half[0], aabb_half[1],
           aabb_half[2], probe.ext_tight[0] ? 1 : 0, probe.ext_tight[1] ? 1 : 0,
-          probe.ext_tight[2] ? 1 : 0);
+          probe.ext_tight[2] ? 1 : 0, drift);
       return true;
     };
     tracker.hooks.update_bboxes =

@@ -860,10 +860,21 @@ void Tracker::TriggerNerf(KeyFrame* kf) {
       // the runtime stay in lockstep.
       if (hooks.update_volume) {
         Cuboid probe;
-        if (obj->ProbeShape(&probe) &&
-            (probe.a1 > obj->shape.a1 || probe.a2 > obj->shape.a2 ||
-             probe.a3 > obj->shape.a3)) {
-          if (hooks.update_volume(obj, probe)) obj->shape = probe;
+        if (obj->ProbeShape(&probe)) {
+          // offer the probe on extent growth OR center drift: early cloud
+          // centers are biased toward the visible surface, so the center
+          // keeps moving as points accumulate even when extents don't —
+          // a mis-centered (if large enough) volume still clips the object
+          const Vec3 pc = probe.t_obj_w.inverse().t;
+          const Vec3 sc = obj->shape.t_obj_w.inverse().t;
+          const float me =
+              std::max({obj->shape.a1, obj->shape.a2, obj->shape.a3});
+          const bool grew = probe.a1 > obj->shape.a1 ||
+                            probe.a2 > obj->shape.a2 ||
+                            probe.a3 > obj->shape.a3;
+          const bool moved = cv::norm(pc - sc) > 0.05f * me;
+          if ((grew || moved) && hooks.update_volume(obj, probe))
+            obj->shape = probe;
         }
       }
       float cosang = last_pushed_dir_.count(obj)

@@ -94,10 +94,11 @@ class _Reader:
 
 class RuntimeServer:
     def __init__(self, cfg: NerfConfig | None = None, final_waves: int = 1,
-                 joint_ba: int = 0):
+                 joint_ba: int = 0, final_retrain: bool = True):
         self.base_cfg = cfg or NerfConfig()
         self.final_waves = max(1, final_waves)  # shutdown polish waves
         self.joint_ba = max(0, joint_ba)  # shutdown joint pose+field BA iters
+        self.final_retrain = bool(final_retrain)  # shutdown from-scratch retrain
         self.mgr: NerfManagerOnline | None = None
         self._h = self._w = 0
         self._running = True
@@ -157,6 +158,7 @@ class RuntimeServer:
                 train_step_iterations=iters, capacity=capacity,
                 mesh_enabled=mesh_on, final_waves=self.final_waves,
                 joint_ba_iters=self.joint_ba,
+                final_retrain=self.final_retrain,
             )
             return b""
         if op == OPS["DATASET_INIT"]:
@@ -310,6 +312,12 @@ def main() -> None:
                          "jointly with the fields (BARF-style), fold the "
                          "deltas into the stored keyframe poses, then run "
                          "the final waves (0 = off/reference parity)")
+    ap.add_argument("--no-final-retrain", action="store_true",
+                    help="skip the shutdown from-scratch retrain (the "
+                         "default re-inits each slot and re-runs its wave "
+                         "budget AFTER the frontend's final BA-refined "
+                         "pose upload, so eval-facing fields train on the "
+                         "refined pose graph end to end)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a jax platform (the axon sitecustomize pins "
                          "the TPU tunnel; JAX_PLATFORMS alone is ignored)")
@@ -334,7 +342,8 @@ def main() -> None:
                               mc_resolution=17),
         )
     RuntimeServer(cfg, final_waves=args.final_waves,
-                  joint_ba=args.joint_ba).serve(args.socket)
+                  joint_ba=args.joint_ba,
+                  final_retrain=not args.no_final_retrain).serve(args.socket)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,9 @@ for SEED in "$@"; do
   # a previous timed-out run may have left its server holding the TPU
   if [ -f "$OUT/server.pid" ]; then
     kill "$(cat "$OUT/server.pid")" 2>/dev/null || true
-    rm -f "$OUT/server.pid"; sleep 2
+    sleep 2
+    kill -9 "$(cat "$OUT/server.pid")" 2>/dev/null || true
+    rm -f "$OUT/server.pid"
   fi
   echo "== $MODE seed $SEED =="
   ENV=(ROMAP_DEMO_SEED="$SEED" ROMAP_DEMO_SPARSE_DEPTH=1 ROMAP_NO_VIDEO=1)
