@@ -22,48 +22,82 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+# ROMAP_BENCH_PLATFORM=cpu lets tests run the bench off-device (the axon
+# sitecustomize pins JAX_PLATFORMS=axon, so the env var alone won't do)
+if os.environ.get("ROMAP_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["ROMAP_BENCH_PLATFORM"])
+
 BASELINE_OBJ_ITERS_PER_SEC = 500.0  # RTX-4090 estimate, see module docstring
 N_OBJECTS = int(os.environ.get("ROMAP_BENCH_OBJECTS", "10"))
 
 
-def _device_probe(timeout_s: float = 180.0) -> None:
+def _device_probe(timeout_s: float = 180.0, attempts: int = 3) -> None:
     """Fail fast with a diagnosable error if the device tunnel is dead.
 
     The remote-TPU relay can hang a jax call indefinitely (observed:
     multi-hour stalls); without this, the bench blocks forever in its
     first device op instead of reporting anything. A trivial op in a
     watchdog-guarded thread bounds the wait (generous: first contact over
-    the relay legitimately takes tens of seconds)."""
+    the relay legitimately takes tens of seconds).
+
+    The probe RETRIES (fresh thread each attempt, backoff between): a
+    single 180 s stall on an otherwise healthy chip cost round 4 its
+    official benchmark record — the same chip answered normally an hour
+    later. ROMAP_BENCH_FORCE_STALL=N artificially hangs the first N
+    attempts so the retry path is testable without a real relay stall."""
     import threading
 
     import jax.numpy as jnp
 
-    done = threading.Event()
-    err: list[BaseException] = []
+    force_stall = int(os.environ.get("ROMAP_BENCH_FORCE_STALL", "0"))
+    for attempt in range(attempts):
+        done = threading.Event()
+        err: list[BaseException] = []
 
-    def probe() -> None:
-        try:
-            jax.device_get(jnp.ones(4) + 1)
-        except BaseException as e:  # noqa: BLE001 — reported below
-            err.append(e)
-        finally:
-            done.set()
+        def probe(stall: bool = attempt < force_stall) -> None:
+            try:
+                if stall:  # test hook: simulate a hung relay call
+                    time.sleep(timeout_s + 60)
+                    return
+                jax.device_get(jnp.ones(4) + 1)
+            except BaseException as e:  # noqa: BLE001 — reported below
+                err.append(e)
+            finally:
+                done.set()
 
-    threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(timeout_s):
-        print(f"bench: device probe did not answer within {timeout_s:.0f}s "
-              "— device tunnel stalled, aborting", file=sys.stderr)
-        os._exit(86)
-    if err:
-        raise err[0]
+        threading.Thread(target=probe, daemon=True).start()
+        # test hook: shrink the per-attempt wait so the forced-stall test
+        # doesn't take attempts*180 s of wall clock
+        wait_s = float(os.environ.get("ROMAP_BENCH_PROBE_TIMEOUT",
+                                      str(timeout_s)))
+        if done.wait(wait_s):
+            if err:
+                raise err[0]
+            return
+        print(f"bench: device probe attempt {attempt + 1}/{attempts} did "
+              f"not answer within {wait_s:.0f}s", file=sys.stderr)
+        time.sleep(5.0 * (attempt + 1))  # backoff before a fresh thread
+    print("bench: device tunnel stalled on every probe attempt, aborting",
+          file=sys.stderr)
+    os._exit(86)
 
 
 def main() -> None:
+    _device_probe()
+    try:
+        _run()
+    except Exception as e:  # noqa: BLE001 — one retry on a transient fault
+        print(f"bench: timed section failed ({e!r}); retrying once",
+              file=sys.stderr)
+        _device_probe()
+        _run()
+
+
+def _run() -> None:
     from romap_tpu.config import NerfConfig
     from romap_tpu.data.world import build_synthetic_world
     from romap_tpu.models import nerf
 
-    _device_probe()
     cfg = NerfConfig()
     spec = nerf.make_field_spec(cfg)
     _, _, _, store, objs = build_synthetic_world(
@@ -78,7 +112,7 @@ def main() -> None:
     state = nerf.train_objects(state, objs, frames, cfg, spec, 1)
     jax.device_get(state.loss)
     # one timed wave shape (separate compile for n_iters)
-    iters = 50
+    iters = int(os.environ.get("ROMAP_BENCH_ITERS", "50"))
     state = nerf.train_objects(state, objs, frames, cfg, spec, iters)
     jax.device_get(state.loss)
 

@@ -259,8 +259,20 @@ int main(int argc, char** argv) {
   cfg.enable_loop_closing = std::getenv("ROMAP_LOOP_CLOSING") != nullptr;
   // ROMAP_MAX_BEHIND=N: mapping-thread backpressure bound (-1 = unbounded,
   // the pre-round-4 behavior; see TrackingConfig::max_kf_behind)
-  if (const char* mb = std::getenv("ROMAP_MAX_BEHIND"))
-    cfg.max_kf_behind = std::atoi(mb);
+  if (const char* mb = std::getenv("ROMAP_MAX_BEHIND")) {
+    char* end = nullptr;
+    long v = std::strtol(mb, &end, 10);
+    if (end != mb && *end == '\0') {
+      cfg.max_kf_behind = static_cast<int>(v);
+    } else {
+      // atoi would silently turn a malformed value into 0 — the STRICTEST
+      // setting (block until fully drained), the opposite of a user
+      // fumbling toward "unbounded" (-1); keep the default instead.
+      std::fprintf(stderr,
+                   "ROMAP_MAX_BEHIND='%s' is not an integer; keeping the "
+                   "default (%d)\n", mb, cfg.max_kf_behind);
+    }
+  }
   if (argc <= 3) train_iters = ds.train_step_iterations;
   Tracker tracker(cfg);
   tracker.StartMapping();  // mapping thread (ref System.cc:84-96)
@@ -495,6 +507,10 @@ int main(int argc, char** argv) {
       float aabb_half[3];
       mgr->UpdateNeRFVolume(static_cast<std::size_t>(idx),
                             ToMat4(probe.t_obj_w), bb, aabb_half);
+      // all-zero reply = the runtime rejected the slot index (stale after
+      // a reset); keep the recorded volume instead of corrupting it
+      if (aabb_half[0] <= 0.f && aabb_half[1] <= 0.f && aabb_half[2] <= 0.f)
+        return false;
       {
         std::lock_guard<std::mutex> alk(app_mu);
         nerf_aabb[obj] = {aabb_half[0], aabb_half[1], aabb_half[2]};

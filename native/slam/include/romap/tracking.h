@@ -48,6 +48,11 @@ struct TrackingConfig {
   // keyframe policy
   int max_frames_between_kf = 10;
   float kf_tracked_ratio = 0.8f;
+  // Post-relocalization strict-inlier window, in frames. The reference
+  // gates on mMaxFrames = camera fps (ref src/Tracking.cc:1822, typically
+  // 30): for this many frames after a relocalization a pose needs >= 50
+  // inliers (vs 30 normally) before it is trusted.
+  int reloc_strict_frames = 30;
   // NeRF triggering (ref LocalMapping.cc:1199-1266): create when the
   // camera-object viewing angle changed by > 2*angle_change since creation
   // observation and >= min_bboxes_for_nerf keyframe boxes pend; push

@@ -312,11 +312,12 @@ bool Tracker::TrackLocalMap() {
     if (cur_.points[i] && !cur_.outlier[i]) cur_.points[i]->n_found++;
   // Weakly-constrained poses diverge: a 15-inlier frame was measured
   // emitting a 4.5 m pose outlier into an otherwise 0.05 m-ATE trajectory.
-  // Reference thresholds (ref src/Tracking.cc:1283-1291): <50 inliers soon
-  // after a relocalization, <30 otherwise -> frame fails, tracker falls
-  // back (motion model next frame, or kLost -> relocalize).
-  if (cur_.id < last_reloc_frame_ + 2 * cfg_.max_frames_between_kf &&
-      inliers < 50)
+  // Reference thresholds (ref src/Tracking.cc:1283-1291): <50 inliers
+  // within the fps-wide window after a relocalization (ref Tracking.cc:
+  // 1822: mnLastRelocFrameId + mMaxFrames, mMaxFrames = camera fps),
+  // <30 otherwise -> frame fails, tracker falls back (motion model next
+  // frame, or kLost -> relocalize).
+  if (cur_.id < last_reloc_frame_ + cfg_.reloc_strict_frames && inliers < 50)
     return false;
   return inliers >= 30;
 }

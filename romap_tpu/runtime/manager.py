@@ -143,6 +143,10 @@ class NerfManagerOnline:
         self._classes: list[int] = []
         self._pending_waves = np.zeros(capacity, np.int64)
         self._wave_count = np.zeros(capacity, np.int64)
+        # per-slot re-initialization count: folded into the reinit PRNG key
+        # so repeated grow updates / the shutdown retrain draw FRESH inits
+        # instead of restoring the same byte-identical params every time
+        self._reinit_count = np.zeros(capacity, np.int64)
         self._meshes: dict[int, object] = {}
         self._objs: dict[str, np.ndarray] | None = None
         self._precompiled: set[int] = set()  # capacities with a warm jit
@@ -341,6 +345,9 @@ class NerfManagerOnline:
         self._wave_count = np.concatenate(
             [self._wave_count, np.zeros(new_cap - old_cap, np.int64)]
         )
+        self._reinit_count = np.concatenate(
+            [self._reinit_count, np.zeros(new_cap - old_cap, np.int64)]
+        )
         self.capacity = new_cap
 
     def update_nerf_bbox(self, idx: int, frame_bboxes, train_step: int = 1) -> None:
@@ -352,12 +359,29 @@ class NerfManagerOnline:
             return
         with self._lock:
             nb = int(self._objs["n_bbox"][idx])
-            end = min(nb + len(rows), self._max_bboxes)
-            self._objs["bboxes"][idx, nb:end] = rows[: end - nb]
+            while nb + len(rows) > self._max_bboxes:
+                self._grow_bboxes()
+            end = nb + len(rows)
+            self._objs["bboxes"][idx, nb:end] = rows
             self._objs["n_bbox"][idx] = end
             self._pending_waves[idx] += int(train_step)
 
-    def update_nerf_volume(self, idx: int, obj_tow, bbox_min, bbox_max) -> None:
+    def _grow_bboxes(self) -> None:
+        """Double the per-object bbox-row capacity. The keyframe-mode
+        prealloc (stamps/2+8 rows) can overflow on long sessions with
+        re-credited retrains; dropping rows silently starves late
+        supervision, so grow like the frame store instead (costs one
+        train-step recompile on the next pump). Caller holds the lock."""
+        old = self._max_bboxes
+        self._max_bboxes = old * 2
+        b = self._objs["bboxes"]
+        pad = np.zeros((b.shape[0], old, 5), b.dtype)
+        self._objs["bboxes"] = np.concatenate([b, pad], axis=1)
+        print(f"[manager] bbox table grown {old} -> {self._max_bboxes} "
+              "rows/object (train step recompiles at the new shape)",
+              flush=True)
+
+    def update_nerf_volume(self, idx: int, obj_tow, bbox_min, bbox_max) -> bool:
         """Grow-triggered pose + training-volume replacement (beyond the
         reference, which freezes SetAttributes at creation — ref nerf.cu:
         155-176): the frontend calls this when the SLAM cuboid outgrows the
@@ -365,8 +389,16 @@ class NerfManagerOnline:
         field forever — measured 7 dB vs 24 dB on the room demo). The
         slot's params/EMA/optimizer re-init (learned content is tied to the
         old unit-cube warp) and the waves already spent are re-credited so
-        the field retrains from the full accumulated bbox supervision."""
+        the field retrains from the full accumulated bbox supervision.
+        Returns False (no-op) for an out-of-range slot index: this op is
+        triggered asynchronously by the mapping thread, so a stale idx after
+        a SLAM reset must not kill the runtime session."""
         with self._lock:
+            if not (0 <= idx < self._n_objects):
+                print(f"[manager] update_nerf_volume: slot {idx} out of "
+                      f"range (n_objects={self._n_objects}); ignored",
+                      flush=True)
+                return False
             self._wait_idle_locked()
             cls = int(self._objs["instance_id"][idx])
             scale = 1.2 if cls in (41, 73) else 1.1
@@ -376,14 +408,30 @@ class NerfManagerOnline:
             if self.state is not None:
                 self.state = shardlib.shard_objects(
                     nerf.reinit_slot(
-                        self.state,
-                        jax.random.PRNGKey(self.cfg.seed + 7919 + idx),
+                        self.state, self._next_reinit_key(idx),
                         np.int32(idx), self.cfg, self.spec,
                     ),
                     self.mesh,
                 )
+            # re-credit the spent budget and ZERO the spent counter: the
+            # re-credited waves re-increment _wave_count as they run, so
+            # leaving it set would double the budget on every subsequent
+            # reinit (grow updates / shutdown retrain) — 2^k compounding
             self._pending_waves[idx] += self._wave_count[idx]
+            self._wave_count[idx] = 0
             self._meshes.pop(idx, None)  # stale mesh from the old field
+            return True
+
+    def _next_reinit_key(self, idx: int):
+        """Fresh PRNG key per re-initialization of a slot (folds a per-slot
+        reinit counter into the base key so a pathological init draw is
+        recoverable)."""
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.cfg.seed + 7919 + idx),
+            int(self._reinit_count[idx]),
+        )
+        self._reinit_count[idx] += 1
+        return key
 
     # -------------------------------------------------------------- training
     def _objects_state(self, active_mask: np.ndarray) -> nerf.ObjectsState:
@@ -542,16 +590,15 @@ class NerfManagerOnline:
                             continue
                         self.state = shardlib.shard_objects(
                             nerf.reinit_slot(
-                                self.state,
-                                jax.random.PRNGKey(
-                                    self.cfg.seed + 7919 + idx),
+                                self.state, self._next_reinit_key(idx),
                                 np.int32(idx), self.cfg, self.spec,
                             ),
                             self.mesh,
                         )
                         self._pending_waves[idx] += self._wave_count[idx]
-                        n_slots += 1
                         n_waves += int(self._wave_count[idx])
+                        self._wave_count[idx] = 0
+                        n_slots += 1
                         self._meshes.pop(idx, None)
                 if n_slots:
                     print(f"final retrain: re-initialized {n_slots} slot(s), "

@@ -193,8 +193,10 @@ class RuntimeServer:
             tow = r.take_array(np.float32, 16).reshape(4, 4)
             bbmin = r.take_array(np.float32, 3)
             bbmax = r.take_array(np.float32, 3)
-            self.mgr.update_nerf_volume(idx, tow, bbmin, bbmax)
-            half = self.mgr.aabb_half(idx)
+            if self.mgr.update_nerf_volume(idx, tow, bbmin, bbmax):
+                half = self.mgr.aabb_half(idx)
+            else:  # stale/out-of-range slot (e.g. after a SLAM reset): no-op
+                half = (0.0, 0.0, 0.0)
             return struct.pack("<fff", *half)
         if op == OPS["UPDATE_BBOX"]:
             idx, train_step, n = r.take("iii")

@@ -171,6 +171,92 @@ def test_update_nerf_volume_reinits_slot_and_recredits():
     assert int(np.asarray(mgr.state.step)[idxs[0]]) == 10
 
 
+def test_update_nerf_volume_budget_does_not_compound():
+    """Repeated volume updates must re-credit exactly the waves SPENT SINCE
+    the last reinit, not a doubling counter (ADVICE r4 medium: the spent
+    counter was left set after crediting, so every reinit handed out 2x)."""
+    cam, objects, frames = make_world(n_frames=14)
+    mgr = NerfManagerOnline(tiny_cfg(), train_step_iterations=5, capacity=2)
+    mgr.dataset_init(cam.fx, cam.fy, cam.cx, cam.cy, cam.h, cam.w, len(frames))
+    for fi, f in enumerate(frames):
+        mgr.new_frame_to_dataset(fi, f["stamp"], f["rgb"], f["instance"],
+                                 pose=f["twc"])
+    obj = objects[0]
+    tow = np.eye(4, dtype=np.float32)
+    tow[:3, 3] = -obj.center
+    half = obj.aabb_half_extents()
+    idx = mgr.create_nerf(1, tow, -half, half)
+    rows = [(fi, *frames[fi]["bboxes"][obj.instance_id])
+            for fi in range(14) if frames[fi]["bboxes"][obj.instance_id]]
+    mgr.update_nerf_bbox(idx, rows[:12], 2)
+    assert mgr.pump() == 2
+
+    p_first = None
+    for round_ in range(3):  # grow, grow again, grow a third time
+        mgr.update_nerf_volume(idx, tow, -half * (1.1 ** (round_ + 1)),
+                               half * (1.1 ** (round_ + 1)))
+        # exactly the 2 earned waves are pending — not 4, 8, ...
+        assert int(mgr._pending_waves[idx]) == 2
+        if round_ == 0:
+            p_first = np.asarray(jax.tree.leaves(mgr.state.params)[0]).copy()
+        elif round_ == 1:
+            # fresh init draw per reinit (ADVICE r4 low: key was constant)
+            p_now = np.asarray(jax.tree.leaves(mgr.state.params)[0])
+            assert not np.allclose(p_now[idx], p_first[idx])
+        assert mgr.pump() == 2
+        assert int(np.asarray(mgr.state.step)[idx]) == 10
+
+    # shutdown retrain also credits the earned (not compounded) budget
+    mgr.final_retrain = True
+    mgr.wait_threads_end()
+    # 10 retrain iters + final_waves(1) x 5
+    assert int(np.asarray(mgr.state.step)[idx]) == 15
+
+
+def test_update_nerf_volume_out_of_range_is_noop():
+    """A stale slot index (e.g. after a SLAM reset) must be rejected, not
+    crash the runtime (ADVICE r4 low)."""
+    cam, objects, frames = make_world(n_frames=6)
+    mgr = NerfManagerOnline(tiny_cfg(), train_step_iterations=2, capacity=2)
+    mgr.dataset_init(cam.fx, cam.fy, cam.cx, cam.cy, cam.h, cam.w, len(frames))
+    tow = np.eye(4, dtype=np.float32)
+    assert mgr.update_nerf_volume(0, tow, -np.ones(3), np.ones(3)) is False
+    assert mgr.update_nerf_volume(-1, tow, -np.ones(3), np.ones(3)) is False
+    idx = mgr.create_nerf(1, tow, -np.ones(3), np.ones(3))
+    assert mgr.update_nerf_volume(idx, tow, -np.ones(3), np.ones(3)) is True
+    assert mgr.update_nerf_volume(idx + 1, tow, -np.ones(3),
+                                  np.ones(3)) is False
+
+
+def test_bbox_table_grows_instead_of_dropping(capsys):
+    """Overflowing the per-object bbox prealloc must GROW the table (like
+    the frame store), never silently drop supervision rows (VERDICT r4
+    weak #6)."""
+    cam, objects, frames = make_world(n_frames=6)
+    mgr = NerfManagerOnline(tiny_cfg(), train_step_iterations=1, capacity=2)
+    # tiny prealloc: 4 bbox rows/object
+    mgr.dataset_init(cam.fx, cam.fy, cam.cx, cam.cy, cam.h, cam.w, 4)
+    for fi, f in enumerate(frames):
+        mgr.new_frame_to_dataset(fi, f["stamp"], f["rgb"], f["instance"],
+                                 pose=f["twc"])
+    obj = objects[0]
+    tow = np.eye(4, dtype=np.float32)
+    tow[:3, 3] = -obj.center
+    half = obj.aabb_half_extents()
+    idx = mgr.create_nerf(1, tow, -half, half)
+    rows = [(fi % 6, *frames[fi % 6]["bboxes"][obj.instance_id])
+            for fi in range(12)]
+    mgr.update_nerf_bbox(idx, rows, 1)
+    assert int(mgr._objs["n_bbox"][idx]) == 12  # nothing dropped
+    assert mgr._max_bboxes >= 12
+    np.testing.assert_array_equal(
+        mgr._objs["bboxes"][idx, :12], np.asarray(rows, np.int32))
+    assert "bbox table grown" in capsys.readouterr().out
+    # training still runs at the grown shape
+    assert mgr.pump() == 1
+    assert int(np.asarray(mgr.state.step)[idx]) == 1
+
+
 def test_capacity_growth():
     cam, objects, frames = make_world(n_frames=6, n_objects=3)
     mgr = NerfManagerOnline(tiny_cfg(), train_step_iterations=2, capacity=2)
