@@ -809,6 +809,11 @@ int main(int argc, char** argv) {
   auto [tmed, tmean] = stats(track_ms);
   auto [mmed, mmean] = stats(tracker.mapping_ms());
   double seq_s = last_stamp - first_stamp;
+  // timing numbers are only comparable at a stated core budget: the same
+  // build stage measured 17 ms/frame idle vs 33 ms on a loaded 1-core box
+  std::printf("host cores: %u, pacing: %s\n",
+              std::thread::hardware_concurrency(),
+              std::getenv("ROMAP_PACE") ? "on" : "off");
   std::printf("median tracking time: %.2f ms (mean %.2f)\n", tmed, tmean);
   std::printf("median mapping time: %.2f ms (mean %.2f, %zu keyframe jobs)\n",
               mmed, mmean, tracker.mapping_ms().size());

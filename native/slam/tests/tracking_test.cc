@@ -8,6 +8,7 @@
 #include <string>
 #include <cstdio>
 #include <random>
+#include <thread>
 
 #include <opencv2/imgproc.hpp>
 
@@ -568,8 +569,9 @@ int main(int argc, char** argv) {
     auto sp = tracker.stage_split();
     if (sp.frames > 0)
       std::printf(
-          "tracking split (mean ms/frame): build %.1f, match %.1f, "
-          "objects %.1f, keyframe %.1f\n",
+          "tracking split (mean ms/frame, %u host cores): build %.1f, "
+          "match %.1f, objects %.1f, keyframe %.1f\n",
+          std::thread::hardware_concurrency(),
           sp.build / sp.frames / 1e3, sp.match / sp.frames / 1e3,
           sp.objects / sp.frames / 1e3, sp.keyframe / sp.frames / 1e3);
   }
