@@ -17,15 +17,21 @@ mkdir -p "$OUT"
 cmake -S "$REPO/native" -B "$REPO/native/build" -G Ninja >/dev/null
 cmake --build "$REPO/native/build" >/dev/null
 
-echo "== generating synthetic room dataset =="
+echo "== generating synthetic dataset =="
 # ROMAP_DEMO_SEED varies the scene draw (object placement/texture): SLAM
 # runs are deterministic per dataset since the heap-layout-determinism fix,
 # so multi-run spread studies must vary the seed, not just re-run.
+# ROMAP_DEMO_SCENE selects the scene: room (default) or an adversarial
+# variant (concave | boxnoise | compound | exposure — world.py).
 SEED="${ROMAP_DEMO_SEED:-0}"
+SCENE="${ROMAP_DEMO_SCENE:-room}"
 PYTHONPATH="$REPO:$PYTHONPATH" python -c "
-from romap_tpu.data.world import write_room_dataset
-write_room_dataset('$DATASET', n_objects=$NOBJ, seed=$SEED)
-print('dataset at $DATASET (seed $SEED)')"
+from romap_tpu.data import world
+if '$SCENE' == 'room':
+    world.write_room_dataset('$DATASET', n_objects=$NOBJ, seed=$SEED)
+else:
+    world.write_adversarial_dataset('$DATASET', '$SCENE', seed=$SEED)
+print('dataset at $DATASET (scene $SCENE, seed $SEED)')"
 
 # ROMAP_DEMO_SPARSE_DEPTH=1: enable the NeRF.UseSparseDepth yaml knob
 # (SLAM ships its BA-refined sparse depth as a supervision channel)

@@ -155,6 +155,48 @@ monerf::Mat4 ToMat4(const SE3& t) {
   return m;
 }
 
+// Sort (img_id, Twc) pairs and send one UpdateDataset per contiguous id run
+// (the opcode takes a [end-n, end) window, ref nerf_manager.cu:220-235).
+size_t SendPoseWindows(monerf::NerfManagerOnline& mgr,
+                       std::vector<std::pair<int, SE3>>& got) {
+  if (got.empty()) return 0;
+  std::sort(got.begin(), got.end(),
+            [](const auto& a, const auto& b) { return a.first < b.first; });
+  size_t i = 0, n_sent = 0;
+  while (i < got.size()) {
+    size_t j = i + 1;
+    while (j < got.size() && got[j - 1].first + 1 == got[j].first) ++j;
+    std::vector<monerf::Mat4> poses;
+    for (size_t k = i; k < j; ++k) poses.push_back(ToMat4(got[k].second));
+    mgr.UpdateDataset(static_cast<unsigned>(got[j - 1].first + 1),
+                      static_cast<unsigned>(poses.size()), poses);
+    n_sent += poses.size();
+    i = j;
+  }
+  return n_sent;
+}
+
+// Recompose EVERY uploaded frame's pose through the current (BA-refined)
+// keyframe graph and rewrite them in the NeRF store. Keyframe entries
+// recompose to their exact refined poses (t_cr is identity); dense frames
+// ride their reference keyframe's correction.
+size_t RewriteUploadedPoses(Tracker& tracker, monerf::NerfManagerOnline& mgr,
+                            std::mutex& app_mu,
+                            const std::map<long long, int>& stamp_us_to_img) {
+  std::map<long long, SE3> recomposed;
+  for (const auto& st : tracker.Snapshot().trajectory)
+    recomposed[static_cast<long long>(st.t * 1e6)] = st.tcw.inverse();
+  std::vector<std::pair<int, SE3>> got;
+  {
+    std::lock_guard<std::mutex> alk(app_mu);
+    for (const auto& [us, img] : stamp_us_to_img) {
+      auto it = recomposed.find(us);
+      if (it != recomposed.end()) got.push_back({img, it->second});
+    }
+  }
+  return SendPoseWindows(mgr, got);
+}
+
 void SaveTrajectoryTUM(const std::string& path,
                        const std::vector<Tracker::Stamped>& traj) {
   std::ofstream f(path);
@@ -650,7 +692,22 @@ int main(int argc, char** argv) {
     };
     tracker.hooks.update_poses =
         [&](const std::vector<std::pair<double, SE3>>& refined) {
-          // rewrite already-uploaded keyframe poses with the BA-refined ones.
+          // Mid-run supervision-pose maintenance. Default: after each local
+          // BA, recompose EVERY uploaded frame's pose through the current
+          // (refined) keyframe graph and rewrite them all — dense frames
+          // otherwise train on raw tracking-time poses until shutdown
+          // (the reference has the hook shape for this: UpdateDataGPU
+          // rewrites a pose window under all object mutexes, ref
+          // Core/src/nerf_data.cu:341-353, wired but unused).
+          // ROMAP_MIDRUN_POSES=0 restores the BA-window-only rewrite for
+          // A/B runs. Pose-table upload is ~KB (the frame store re-uploads
+          // only poses), so cost is negligible either way.
+          if (!std::getenv("ROMAP_MIDRUN_POSES") ||
+              std::atoi(std::getenv("ROMAP_MIDRUN_POSES")) != 0) {
+            RewriteUploadedPoses(tracker, *mgr, app_mu, stamp_us_to_img);
+            return;
+          }
+          // BA-window-only path: rewrite just the refined keyframes.
           // UpdateDataset takes a contiguous [end-n, end) id window; in
           // keyframe-only mode the refined window is one run, in dense mode
           // keyframe ids interleave with dense uploads — send one window per
@@ -664,22 +721,7 @@ int main(int argc, char** argv) {
               if (it != stamp_us_to_img.end()) got.push_back({it->second, twc});
             }
           }
-          if (got.empty()) return;
-          std::sort(got.begin(), got.end(),
-                    [](const auto& a, const auto& b) { return a.first < b.first; });
-          size_t i = 0;
-          while (i < got.size()) {
-            size_t j = i + 1;
-            while (j < got.size() && got[j - 1].first + 1 == got[j].first)
-              ++j;
-            std::vector<monerf::Mat4> poses;
-            for (size_t k = i; k < j; ++k)
-              poses.push_back(ToMat4(got[k].second));
-            mgr->UpdateDataset(
-                static_cast<unsigned>(got[j - 1].first + 1),
-                static_cast<unsigned>(poses.size()), poses);
-            i = j;
-          }
+          SendPoseWindows(*mgr, got);
         };
   }
 
@@ -836,36 +878,12 @@ int main(int argc, char** argv) {
     std::printf("real-time factor: %.2fx (%.1fs sequence in %.1fs wall)\n",
                 seq_s / wall_s, seq_s, wall_s);
 
-  if (mgr && dense_views) {
-    // dense frames were uploaded with raw tracking-time poses; rewrite every
-    // uploaded frame from the BA-recomposed trajectory (keyframes get their
-    // exact refined poses — for a KF entry t_cr is identity) so the final
-    // shutdown waves train on the refined pose graph end to end.
-    std::map<long long, romap::SE3> recomposed;
-    for (const auto& st : tracker.Snapshot().trajectory)
-      recomposed[static_cast<long long>(st.t * 1e6)] = st.tcw.inverse();
-    std::vector<std::pair<int, SE3>> got;
-    {
-      std::lock_guard<std::mutex> alk(app_mu);
-      for (const auto& [us, img] : stamp_us_to_img) {
-        auto it = recomposed.find(us);
-        if (it != recomposed.end()) got.push_back({img, it->second});
-      }
-    }
-    std::sort(got.begin(), got.end(),
-              [](const auto& a, const auto& b) { return a.first < b.first; });
-    size_t i = 0, n_sent = 0;
-    while (i < got.size()) {
-      size_t j = i + 1;
-      while (j < got.size() && got[j - 1].first + 1 == got[j].first) ++j;
-      std::vector<monerf::Mat4> poses;
-      for (size_t k = i; k < j; ++k) poses.push_back(ToMat4(got[k].second));
-      mgr->UpdateDataset(static_cast<unsigned>(got[j - 1].first + 1),
-                         static_cast<unsigned>(poses.size()), poses);
-      n_sent += poses.size();
-      i = j;
-    }
-    std::printf("dense views: rewrote %zu uploaded frame poses "
+  if (mgr) {
+    // final rewrite: every uploaded frame trains its last (and, with
+    // final_retrain, every) wave on the fully BA-refined pose graph
+    size_t n_sent =
+        RewriteUploadedPoses(tracker, *mgr, app_mu, stamp_us_to_img);
+    std::printf("shutdown: rewrote %zu uploaded frame poses "
                 "(BA-recomposed)\n", n_sent);
   }
 

@@ -40,6 +40,13 @@ class FrameArrays(NamedTuple):
         return self.depth.ndim == 3 and self.depth.shape[1] > 1
 
 
+@jax.jit
+def _set_frame(arr: jax.Array, idx, block: jax.Array) -> jax.Array:
+    """Scatter one frame's block into the resident device array (a device-
+    side dynamic-update-slice: no relay transfer beyond the block itself)."""
+    return arr.at[idx].set(block)
+
+
 class FrameStore:
     """Host coordinator over FrameArrays (stamp->idx map + incremental upload)."""
 
@@ -69,7 +76,15 @@ class FrameStore:
         self._instance = np.zeros((capacity, h, w), np.uint8)
         self._poses = np.tile(np.eye(4, dtype=np.float32), (capacity, 1, 1))
         self._intrinsics = np.asarray(intrinsics, np.float32)
-        self._dirty = True
+        # Incremental dirty tracking. A store-wide dirty bit re-uploads the
+        # WHOLE store on any change — measured on the online room demo that
+        # is ~150 MB over the TPU relay per keyframe (every post-BA pose
+        # rewrite dragged all pixels along), starving the training waves.
+        # Instead: changed frames scatter device-side one block at a time,
+        # and a pose rewrite re-uploads only the [F,4,4] pose table (~KB).
+        self._dirty_full = True  # init / growth / placement change
+        self._dirty_frames: set[int] = set()
+        self._dirty_poses = False
         self._arrays: FrameArrays | None = None
 
     def _grow(self, min_capacity: int) -> None:
@@ -91,7 +106,7 @@ class FrameStore:
         eye = np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))
         self._poses = np.concatenate([self._poses, eye], axis=0)
         self.capacity = new_cap
-        self._dirty = True
+        self._dirty_full = True
 
     def add_frame(
         self, idx: int, stamp: str, rgb_u8, instance_u8, pose_twc, depth=None
@@ -106,21 +121,37 @@ class FrameStore:
         if self.use_depth and depth is not None:
             self._depth[idx] = np.asarray(depth, np.float32) * self.depth_scale
         self.count = max(self.count, idx + 1)
-        self._dirty = True
+        self._dirty_frames.add(idx)
+        self._dirty_poses = True
 
     def update_poses(self, start: int, poses) -> None:
         """Rewrite a pose window (ref NeRF_Dataset::UpdateDataGPU nerf_data.cu:341-353)."""
         poses = np.asarray(poses, np.float32)
         self._poses[start : start + len(poses)] = poses
-        self._dirty = True
+        self._dirty_poses = True
+
+    def mark_poses_dirty(self) -> None:
+        """For callers that rewrite self._poses in place (joint BA)."""
+        self._dirty_poses = True
 
     def arrays(self, sharding=None) -> FrameArrays:
-        """Device view; re-uploads only when host buffers changed or the
-        requested placement changed (the manager's mesh can grow)."""
-        if (self._dirty or self._arrays is None
-                or sharding != getattr(self, "_last_sharding", None)):
+        """Device view, updated incrementally: new/changed frames scatter
+        into the resident device arrays block-by-block; pose rewrites
+        re-upload only the pose table. A full re-upload happens only at
+        init, growth, a placement change, or when most of the store
+        changed at once (bulk offline load)."""
+        placement_changed = sharding != getattr(self, "_last_sharding", ())
+        full = (
+            self._dirty_full
+            or self._arrays is None
+            or placement_changed
+            # bulk load: scattering frame-by-frame would be slower than
+            # one contiguous transfer
+            or 2 * len(self._dirty_frames) >= max(self.count, 1)
+        )
+        put = (lambda x: jax.device_put(x, sharding)) if sharding else jnp.asarray
+        if full:
             self._last_sharding = sharding
-            put = (lambda x: jax.device_put(x, sharding)) if sharding else jnp.asarray
             self._arrays = FrameArrays(
                 pixels=put(self._pixels),
                 depth=put(self._depth),
@@ -128,5 +159,21 @@ class FrameStore:
                 poses=put(self._poses),
                 intrinsics=put(self._intrinsics),
             )
-            self._dirty = False
+        elif self._dirty_frames or self._dirty_poses:
+            a = self._arrays
+            for idx in sorted(self._dirty_frames):
+                a = a._replace(
+                    pixels=_set_frame(a.pixels, idx, put(self._pixels[idx])),
+                    instance=_set_frame(
+                        a.instance, idx, put(self._instance[idx])),
+                )
+                if self.use_depth:
+                    a = a._replace(
+                        depth=_set_frame(a.depth, idx, put(self._depth[idx])))
+            if self._dirty_poses:
+                a = a._replace(poses=put(self._poses))
+            self._arrays = a
+        self._dirty_full = False
+        self._dirty_frames.clear()
+        self._dirty_poses = False
         return self._arrays

@@ -38,6 +38,16 @@ class SphereObject:
         t = np.where(t0 > 1e-3, t0, t1)
         return t, ok & (t > 1e-3)
 
+    def surface_distance(self, p):
+        """|sdf| of points to the sphere surface (part selection in compounds)."""
+        return np.abs(np.linalg.norm(p - self.center, axis=-1) - self.radius)
+
+    def surface_points(self, n: int, rng) -> np.ndarray:
+        """Uniform samples on the sphere surface, OBJECT frame (centered)."""
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return (v * self.radius).astype(np.float32)
+
     def shade(self, p):
         """Color at surface point: base color modulated by the normal plus a
         high-frequency surface checker (view-consistent, so a NeRF can fit it
@@ -51,6 +61,143 @@ class SphereObject:
         c2 = _hash01(*(np.floor((n[..., k] + 1.0) * 21.0 + 3) for k in range(3)))
         tex = (0.15 + 0.6 * c1 + 0.35 * c2)[..., None]
         return np.clip(self.base_color * (0.55 + 0.45 * mod) * tex, 0, 1)
+
+
+@dataclasses.dataclass
+class BoxObject:
+    """Textured axis-yawed box (the non-sphere geometry the reference's real
+    scenes exercise — ref README.md:61-66 demo objects are boxes/keyboards).
+    Same protocol as SphereObject: hit/shade/center/instance_id/extents."""
+
+    center: np.ndarray  # [3] world
+    half: np.ndarray  # [3] half extents in the box frame
+    yaw: float  # rotation about world z
+    instance_id: int
+    base_color: np.ndarray
+
+    def _rot(self):
+        c, s = np.cos(self.yaw), np.sin(self.yaw)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+    def aabb_half_extents(self) -> np.ndarray:
+        r = np.abs(self._rot())
+        return (r @ np.asarray(self.half, np.float64)).astype(np.float32)
+
+    @property
+    def radius(self) -> float:  # bounding-sphere radius (sidecar compat)
+        return float(np.linalg.norm(self.half))
+
+    def hit(self, o, d):
+        """Slab-test ray-OBB: transform rays into the box frame."""
+        r = self._rot()
+        ob = (o - self.center) @ r  # world->box (r is orthonormal)
+        db = d @ r
+        inv = 1.0 / np.where(np.abs(db) > 1e-12, db, 1e-12)
+        t0 = (-np.asarray(self.half) - ob) * inv
+        t1 = (np.asarray(self.half) - ob) * inv
+        tmin = np.minimum(t0, t1).max(-1)
+        tmax = np.maximum(t0, t1).min(-1)
+        ok = (tmax > np.maximum(tmin, 1e-3))
+        t = np.where(tmin > 1e-3, tmin, tmax)
+        return t, ok & (t > 1e-3)
+
+    def surface_distance(self, p):
+        """|sdf| of points to the box surface (part selection in compounds)."""
+        q = np.abs((p - self.center) @ self._rot()) - np.asarray(self.half)
+        outside = np.linalg.norm(np.maximum(q, 0), axis=-1)
+        inside = np.minimum(q.max(-1), 0)
+        return np.abs(outside + inside)
+
+    def shade(self, p):
+        """Blocky aperiodic texture in box-local coords + per-face tint (so
+        every face has trackable corners and faces are distinguishable)."""
+        q = (p - self.center) @ self._rot()
+        u = q / np.asarray(self.half)
+        face = np.argmax(np.abs(u), axis=-1)
+        tint = 0.75 + 0.25 * (face / 2.0)[..., None]
+        c1 = _hash01(*(np.floor((q[..., k] + 2.0) * 14.0) for k in range(3)))
+        c2 = _hash01(*(np.floor((q[..., k] + 2.0) * 33.0 + 5) for k in range(3)))
+        tex = (0.2 + 0.55 * c1 + 0.35 * c2)[..., None]
+        return np.clip(self.base_color * tint * tex, 0, 1)
+
+    def surface_points(self, n: int, rng) -> np.ndarray:
+        """Uniform-ish samples on the box surface, OBJECT frame (= centered,
+        yaw kept — the GT sidecar is consumed in the object frame)."""
+        areas = np.array([self.half[1] * self.half[2],
+                          self.half[0] * self.half[2],
+                          self.half[0] * self.half[1]], np.float64)
+        areas = np.repeat(areas, 2)
+        areas /= areas.sum()
+        faces = rng.choice(6, size=n, p=areas)
+        pts = rng.uniform(-1, 1, (n, 3)) * np.asarray(self.half)
+        for f in range(6):
+            m = faces == f
+            pts[m, f // 2] = (1 if f % 2 else -1) * self.half[f // 2]
+        return (pts @ self._rot().T).astype(np.float32)
+
+
+class CompoundObject:
+    """Union of primitives sharing one instance id — concave silhouettes
+    (an L of two boxes) and compound shapes (box + sphere) that a sphere
+    fit cannot score; the chamfer mesh metric handles these."""
+
+    def __init__(self, parts, instance_id: int):
+        self.parts = parts
+        self.instance_id = instance_id
+        los, his = [], []
+        for p in self.parts:
+            h = p.aabb_half_extents()
+            los.append(np.asarray(p.center) - h)
+            his.append(np.asarray(p.center) + h)
+        lo, hi = np.min(los, axis=0), np.max(his, axis=0)
+        self.center = ((lo + hi) / 2).astype(np.float64)
+        self._half = ((hi - lo) / 2).astype(np.float32)
+
+    def aabb_half_extents(self) -> np.ndarray:
+        return self._half
+
+    @property
+    def radius(self) -> float:
+        return float(np.linalg.norm(self._half))
+
+    def hit(self, o, d):
+        best_t = np.full(o.shape[:-1], np.inf)
+        any_hit = np.zeros(o.shape[:-1], bool)
+        for p in self.parts:
+            t, ok = p.hit(o, d)
+            closer = ok & (t < best_t)
+            best_t = np.where(closer, t, best_t)
+            any_hit |= ok
+        return best_t, any_hit & np.isfinite(best_t)
+
+    def shade(self, p):
+        """Delegate to the part whose surface is nearest to the hit point."""
+        dists = np.stack([q.surface_distance(p) for q in self.parts], -1)
+        which = np.argmin(dists, -1)
+        out = self.parts[0].shade(p)
+        for i, q in enumerate(self.parts[1:], 1):
+            out = np.where((which == i)[..., None], q.shade(p), out)
+        return out
+
+    def surface_points(self, n: int, rng) -> np.ndarray:
+        """Object-frame surface samples, excluding points buried inside a
+        sibling part (union surface only)."""
+        per = max(64, n // len(self.parts) * 2)
+        pts = []
+        for p in self.parts:
+            sp = p.surface_points(per, rng) + (np.asarray(p.center)
+                                               - self.center)
+            keep = np.ones(len(sp), bool)
+            for q in self.parts:
+                if q is p:
+                    continue
+                keep &= q.surface_distance(
+                    sp + self.center) > 1e-3  # outside-or-on sibling
+            pts.append(sp[keep])
+        pts = np.concatenate(pts, 0)
+        if len(pts) > n:
+            pts = pts[rng.choice(len(pts), n, replace=False)]
+        return pts.astype(np.float32)
 
 
 @dataclasses.dataclass
@@ -153,7 +300,9 @@ def render_frame(cam: Camera, twc: np.ndarray, objects: list[SphereObject],
     for obj in objects:
         th, hit = obj.hit(o_w, d_w)
         closer = hit & (th < best_t)
-        p = o_w + th[..., None] * d_w
+        # sanitize miss rays (inf/NaN t) before shading: their p is never
+        # selected, but inf would trip argmin-based part selection/warnings
+        p = o_w + np.where(np.isfinite(th), th, 0.0)[..., None] * d_w
         col = obj.shade(p)
         rgb = np.where(closer[..., None], col, rgb)
         inst = np.where(closer, np.uint8(obj.instance_id), inst)

@@ -550,7 +550,7 @@ class NerfManagerOnline:
         )
         delta_t = np.linalg.norm(corrected[:, :3, 3] - old[:, :3, 3], axis=1)
         self.store._poses[:n] = corrected
-        self.store._dirty = True
+        self.store.mark_poses_dirty()
         # gauge transport for eval views: the fields now live in the
         # corrected-pose gauge, but RenderNeRFsTest views arrive with
         # frontend poses. Each eval view is transported rigidly with its

@@ -81,17 +81,44 @@ def _stamp_to_image(dataset: str):
     return table
 
 
-def _mesh_metrics(obj_dir: str, dataset: str):
-    """Mesh-geometry metric for the synthetic spheres (the north star's
-    "extracted-mesh geometry within tolerance"): fit a sphere to obj.ply
-    (centroid + mean vertex radius, rotation/translation invariant — the
-    mesh lives in the metric object frame) and compare to the GT sidecar
-    `gt_objects.json` written by data/world.write_room_dataset.
+def _chamfer_yaw(pred: np.ndarray, gt: np.ndarray, n_yaw: int = 36) -> float:
+    """Symmetric chamfer distance between centered, scale-normalized point
+    sets, minimized over a yaw search about z (the SLAM object frame's yaw
+    gauge is arbitrary; monocular scale and translation were normalized
+    out by the caller)."""
+    best = np.inf
+    for k in range(n_yaw):
+        th = 2 * np.pi * k / n_yaw
+        c, s = np.cos(th), np.sin(th)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        a = pred @ rot.T
+        d2 = ((a[:, None, :] - gt[None, :, :]) ** 2).sum(-1)
+        ch = 0.5 * (np.sqrt(d2.min(1)).mean() + np.sqrt(d2.min(0)).mean())
+        best = min(best, float(ch))
+    return best
 
-    mesh_radius_ratio  — fitted radius / GT radius (1.0 = perfect; carries
-                         the monocular-scale error in online runs)
-    mesh_shape_rms     — rms of (vertex radius - fitted radius) / fitted
-                         radius: pure shape error, scale-free
+
+def _mesh_metrics(obj_dir: str, dataset: str):
+    """Mesh-geometry metrics against the `gt_objects.json` sidecar (the
+    north star's "extracted-mesh geometry within tolerance").
+
+    For spherical GT (kind SphereObject, or legacy sidecars with only
+    center/radius): fit a sphere to obj.ply (centroid + mean vertex radius,
+    rotation/translation invariant — the mesh lives in the metric object
+    frame) and report
+      mesh_radius_ratio — fitted radius / GT radius (1.0 = perfect; carries
+                          the monocular-scale error in online runs)
+      mesh_shape_rms    — rms of (vertex radius - fitted radius) / fitted
+                          radius: pure shape error, scale-free
+
+    For ANY geometry with `surface_points` in the sidecar (boxes, concave
+    compounds — the reference's mesh contract is object-agnostic, ref
+    Core/src/marching_cubes.cu:512-650):
+      mesh_scale_ratio  — mesh mean-radius / GT mean-radius (monocular scale)
+      mesh_chamfer_norm — symmetric chamfer between centered,
+                          scale-normalized mesh verts and GT surface samples,
+                          min over a 36-step yaw search (fraction of the
+                          object's mean radius; 0 = perfect shape)
     """
     gt_path = os.path.join(dataset, "gt_objects.json")
     ply_path = os.path.join(obj_dir, "obj.ply")
@@ -100,15 +127,14 @@ def _mesh_metrics(obj_dir: str, dataset: str):
     try:
         with open(gt_path) as f:
             gt = json.load(f)
-        radii = {k: float(v["radius"]) for k, v in gt.items()}
     except Exception:
         return {}  # malformed sidecar: skip the mesh metric, keep the rest
     # online SLAM object ids need not match dataset indices (output dirs are
     # slot/creation order, the sidecar is dataset enumeration order) — only
     # the single-object case is unambiguous without a pose-level match
-    if len(radii) != 1:
+    if len(gt) != 1:
         return {}
-    obj_id = next(iter(radii))
+    entry = next(iter(gt.values()))
     try:
         from romap_tpu.utils.mesh_io import load_ply
 
@@ -117,17 +143,32 @@ def _mesh_metrics(obj_dir: str, dataset: str):
         return {}
     if len(verts) < 32:
         return {}
+    out = {"mesh_verts": int(len(verts))}
     c = verts.mean(0)
     rad = np.linalg.norm(verts - c, axis=1)
     r_fit = float(rad.mean())
     if r_fit <= 0:
         return {}
-    return {
-        "mesh_radius_ratio": round(r_fit / radii[obj_id], 4),
-        "mesh_shape_rms": round(float(np.sqrt(np.mean(
-            ((rad - r_fit) / r_fit) ** 2))), 4),
-        "mesh_verts": int(len(verts)),
-    }
+    if entry.get("kind", "SphereObject") == "SphereObject":
+        out["mesh_radius_ratio"] = round(r_fit / float(entry["radius"]), 4)
+        out["mesh_shape_rms"] = round(float(np.sqrt(np.mean(
+            ((rad - r_fit) / r_fit) ** 2))), 4)
+    sp = entry.get("surface_points")
+    if sp is not None:
+        rng = np.random.default_rng(0)
+        gtp = np.asarray(sp, np.float64)
+        gtp = gtp - gtp.mean(0)
+        g_scale = float(np.linalg.norm(gtp, axis=1).mean())
+        if g_scale > 0:
+            out["mesh_scale_ratio"] = round(r_fit / g_scale, 4)
+            pv = (verts - c) / r_fit
+            if len(pv) > 1024:
+                pv = pv[rng.choice(len(pv), 1024, replace=False)]
+            gn = gtp / g_scale
+            if len(gn) > 1024:
+                gn = gn[rng.choice(len(gn), 1024, replace=False)]
+            out["mesh_chamfer_norm"] = round(_chamfer_yaw(pv, gn), 4)
+    return out
 
 
 def _infer_instance_id(crops) -> int | None:
@@ -352,8 +393,17 @@ def _cuboid_metrics(output_dir: str, dataset: str, align) -> dict:
         return {}
     try:
         with open(gt_path) as f:
-            gt = {k: (np.asarray(v["center"], np.float64), float(v["radius"]))
-                  for k, v in json.load(f).items()}
+            gt = {}
+            for k, v in json.load(f).items():
+                # non-sphere GT compares per-axis half-extents (sorted on
+                # both sides: the SLAM cuboid's yaw gauge is its own);
+                # spheres compare every axis against the radius
+                if v.get("kind", "SphereObject") != "SphereObject" and \
+                        "half_extents" in v:
+                    ref = np.sort(np.asarray(v["half_extents"], np.float64))
+                else:
+                    ref = np.full(3, float(v["radius"]))
+                gt[k] = (np.asarray(v["center"], np.float64), ref)
     except Exception:
         return {}
     if align is not None:
@@ -369,13 +419,15 @@ def _cuboid_metrics(output_dir: str, dataset: str, align) -> dict:
             center = s * rot @ np.asarray([float(x) for x in p[2:5]]) + t
             ext = s * np.asarray([float(x) for x in p[9:12]])
             gid = min(gt, key=lambda k: np.linalg.norm(gt[k][0] - center))
-            c_gt, r_gt = gt[gid]
+            c_gt, ref = gt[gid]
+            cmp_ext = ext if (ref == ref[0]).all() else np.sort(ext)
+            ratio = cmp_ext / ref
             rows[p[0]] = {
                 "gt_id": gid,
                 "center_err": round(float(np.linalg.norm(center - c_gt)), 4),
                 "ext": [round(float(e), 4) for e in ext],
-                "ext_ratio": [round(float(e / r_gt), 4) for e in ext],
-                "ext_err_max": round(float(np.max(np.abs(ext / r_gt - 1))), 4),
+                "ext_ratio": [round(float(r), 4) for r in ratio],
+                "ext_err_max": round(float(np.max(np.abs(ratio - 1))), 4),
             }
     if not rows:
         return {}

@@ -31,17 +31,28 @@ ITERS = 5000
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=0,
+                    help="scene + init seed; the parity gate compares "
+                    "3-seed means (VERDICT r4 next #3)")
+    ap.add_argument("--iters", type=int, default=ITERS)
+    args = ap.parse_args()
+    seed = args.seed
+
     cfg = NerfConfig(encoding=EncodingConfig(kind="hashgrid"),
                      train=TrainConfig(compute_dtype="bfloat16"))
     spec = nerf.make_field_spec(cfg)
-    cam, objects, frames, store, objs = build_synthetic_world(1, 24, 192)
+    cam, objects, frames, store, objs = build_synthetic_world(
+        1, 24, 192, seed=seed)
     arrays = store.arrays()
-    state = nerf.init_train_state(jax.random.PRNGKey(0), 1, cfg, spec)
+    state = nerf.init_train_state(jax.random.PRNGKey(seed), 1, cfg, spec)
     host_state = jax.device_get(state)  # restart point on worker crash
 
     done = 0
     t0 = time.perf_counter()
-    while done < ITERS:
+    while done < args.iters:
         try:
             state = nerf.train_objects(state, objs, arrays, cfg, spec, WAVE)
             host_state = jax.device_get(state)
@@ -75,13 +86,17 @@ def main():
     m = test["instance"][y0:y0 + h, x0:x0 + w] == objects[0].instance_id
     mse = float(np.mean((rgb[m] - gt[m]) ** 2))
     psnr = -10 * float(np.log10(max(mse, 1e-9)))
-    print(json.dumps({"quality": "hashgrid_tcnn", "psnr_db": round(psnr, 2)}),
-          flush=True)
+    print(json.dumps({"quality": "hashgrid_tcnn", "seed": seed,
+                      "psnr_db": round(psnr, 2)}), flush=True)
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "QUALITY.json")
     d = json.load(open(path))
-    d["psnr"]["hashgrid_tcnn"] = psnr
+    # per-seed anchors: the parity gate compares 3-seed means so a ladder
+    # step cannot win seed 0 while losing the mean (VERDICT r4 weak #2)
+    d.setdefault("psnr_hashgrid_seeds", {})[str(seed)] = psnr
+    if seed == 0:
+        d["psnr"]["hashgrid_tcnn"] = psnr
     with open(path, "w") as f:
         json.dump(d, f, indent=1)
 

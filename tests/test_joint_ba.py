@@ -59,7 +59,7 @@ def test_joint_ba_improves_consistency_of_perturbed_poses():
         pert[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
         pert[:3, 3] = rng.normal(0, 0.02, 3)
         store._poses[fi] = (store._poses[fi] @ pert).astype(np.float32)
-    store._dirty = True
+    store.mark_poses_dirty()
     pert_poses = np.array(store._poses[: len(seq)])
     frames = store.arrays()
 
