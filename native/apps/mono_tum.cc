@@ -1014,8 +1014,8 @@ int main(int argc, char** argv) {
         if (!mgr->GetMesh(nerf_idx[obj], &mesh)) continue;
         std::array<float, 3> slam_ext = {obj->shape.a1, obj->shape.a2,
                                          obj->shape.a3};
-        MeshExtentRefine r =
-            RefineExtentsFromMesh(mesh.verts, nerf_aabb[obj], slam_ext);
+        MeshExtentRefine r = RefineExtentsFromMesh(
+            mesh.verts, nerf_aabb[obj], slam_ext, &mesh.indices);
         if (r.accepted == 0) continue;
         nerf_ext[obj->id] = r.ext;
         nerf_center_off[obj->id] = r.off;

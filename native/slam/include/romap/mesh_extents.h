@@ -2,15 +2,27 @@
 // is observability-limited — only the VISIBLE surface carries map points,
 // so a monocular cuboid is biased short along the viewing direction —
 // while the trained field integrates every view of the object. Per axis,
-// take the mesh's robust support interval in the object frame and accept
-// it when the mesh is trustworthy there: enough vertices and not clipped
-// by the training volume itself. Consumed by the mono_tum shutdown path
+// take the mesh's support interval in the object frame and accept it when
+// the mesh is trustworthy there: enough vertices and not clipped by the
+// training volume itself. Consumed by the mono_tum shutdown path
 // (objects.txt, ref System::SaveObjects src/System.cc:529-563 format).
+//
+// Support statistic (calibrated on the round-4 3-seed study meshes vs
+// known-radius GT): the q01/q99 quantile interval systematically trims the
+// axis poles of a closed surface — measured -6..-8% extent bias on every
+// axis/seed. Filtering to the LARGEST CONNECTED COMPONENT of the mesh and
+// taking the true min/max removes both failure modes at once: floater
+// blobs (disconnected) can no longer stretch the interval, and the poles
+// are no longer shaved — measured ratio vs GT across 6 runs x 3 axes:
+// mean 1.002, range [0.960, 1.032]. The quantile path remains as the
+// fallback when face topology is unavailable.
 #pragma once
 
 #include <algorithm>
 #include <array>
 #include <cstddef>
+#include <cstdint>
+#include <numeric>
 #include <vector>
 
 namespace romap {
@@ -21,32 +33,99 @@ struct MeshExtentRefine {
   int accepted = 0;          // axes taken from the mesh (0 = reject all)
 };
 
+namespace detail {
+
+// Union-find root with path halving (no recursion; verts can be ~1e5+).
+inline uint32_t UfFind(std::vector<uint32_t>& parent, uint32_t x) {
+  while (parent[x] != x) {
+    parent[x] = parent[parent[x]];
+    x = parent[x];
+  }
+  return x;
+}
+
+// Marks the vertices of the largest face-connected component of the mesh.
+// Returns its vertex count (0 when there are no faces).
+inline size_t LargestComponentMask(size_t n_verts,
+                                   const std::vector<uint32_t>& indices,
+                                   std::vector<char>* in_largest) {
+  in_largest->assign(n_verts, 0);
+  if (indices.size() < 3 || n_verts == 0) return 0;
+  std::vector<uint32_t> parent(n_verts);
+  std::iota(parent.begin(), parent.end(), 0u);
+  const size_t n_tri = indices.size() / 3;
+  for (size_t t = 0; t < n_tri; ++t) {
+    uint32_t a = indices[3 * t], b = indices[3 * t + 1], c = indices[3 * t + 2];
+    if (a >= n_verts || b >= n_verts || c >= n_verts) continue;
+    uint32_t ra = UfFind(parent, a);
+    parent[UfFind(parent, b)] = ra;
+    parent[UfFind(parent, c)] = ra;
+  }
+  std::vector<uint32_t> count(n_verts, 0);
+  for (size_t v = 0; v < n_verts; ++v) ++count[UfFind(parent, (uint32_t)v)];
+  uint32_t best = 0;
+  for (size_t v = 1; v < n_verts; ++v)
+    if (count[v] > count[best]) best = (uint32_t)v;
+  if (count[best] == 0) return 0;
+  for (size_t v = 0; v < n_verts; ++v)
+    (*in_largest)[v] = (UfFind(parent, (uint32_t)v) == best) ? 1 : 0;
+  return count[best];
+}
+
+}  // namespace detail
+
 // verts: xyz-interleaved object-frame mesh vertices. aabb_half: per-axis
 // training-volume half-widths (every margin included) — axes whose mesh
 // support reaches >clip_frac of the volume edge are rejected (the field
 // was truncated there, so its support says nothing about the object).
 // slam_ext: the SLAM cuboid half-extents kept for rejected axes.
-// The robust support interval is [q01, q99]: its half-WIDTH is the extent
-// and the interval midpoint refines the center along that axis (a SLAM
-// center offset must not masquerade as extra extent).
+// indices: optional triangle list — when given, the support interval is
+// the true min/max of the largest connected component (floaters excluded
+// by topology, poles kept); without topology it falls back to [q01, q99]
+// quantiles (floaters trimmed statistically, at the cost of a measured
+// -6..-8% pole bias). The interval half-width is the extent and the
+// interval midpoint refines the center along that axis (a SLAM center
+// offset must not masquerade as extra extent).
 inline MeshExtentRefine RefineExtentsFromMesh(
     const std::vector<float>& verts, const std::array<float, 3>& aabb_half,
-    const std::array<float, 3>& slam_ext, size_t min_verts = 100,
+    const std::array<float, 3>& slam_ext,
+    const std::vector<uint32_t>* indices = nullptr, size_t min_verts = 100,
     float clip_frac = 0.95f) {
   MeshExtentRefine r;
   r.ext = slam_ext;
   r.off = {0.f, 0.f, 0.f};
-  size_t nv = verts.size() / 3;
+  const size_t nv = verts.size() / 3;
   if (nv < min_verts) return r;
-  std::vector<float> c(nv);
+
+  std::vector<char> mask;
+  size_t n_cc = 0;
+  if (indices != nullptr)
+    n_cc = detail::LargestComponentMask(nv, *indices, &mask);
+  const bool use_cc = n_cc >= min_verts;
+
+  std::vector<float> c;
+  c.reserve(nv);
   for (int a = 0; a < 3; ++a) {
-    for (size_t k = 0; k < nv; ++k) c[k] = verts[3 * k + a];
-    size_t qlo = static_cast<size_t>(0.01 * static_cast<double>(nv - 1));
-    size_t qhi = static_cast<size_t>(0.99 * static_cast<double>(nv - 1));
-    std::nth_element(c.begin(), c.begin() + qlo, c.end());
-    float lo = c[qlo];
-    std::nth_element(c.begin() + qlo, c.begin() + qhi, c.end());
-    float hi = c[qhi];
+    float lo, hi;
+    if (use_cc) {
+      lo = 1e30f;
+      hi = -1e30f;
+      for (size_t k = 0; k < nv; ++k) {
+        if (!mask[k]) continue;
+        float x = verts[3 * k + a];
+        lo = std::min(lo, x);
+        hi = std::max(hi, x);
+      }
+    } else {
+      c.clear();
+      for (size_t k = 0; k < nv; ++k) c.push_back(verts[3 * k + a]);
+      size_t qlo = static_cast<size_t>(0.01 * static_cast<double>(nv - 1));
+      size_t qhi = static_cast<size_t>(0.99 * static_cast<double>(nv - 1));
+      std::nth_element(c.begin(), c.begin() + qlo, c.end());
+      lo = c[qlo];
+      std::nth_element(c.begin() + qlo, c.begin() + qhi, c.end());
+      hi = c[qhi];
+    }
     bool clipped =
         hi > clip_frac * aabb_half[a] || lo < -clip_frac * aabb_half[a];
     if (!clipped) {
