@@ -453,6 +453,30 @@ bool ObjectMap::ProbeShape(Cuboid* out) const {
       std::printf("[ext] axis %d sil=%.3f tight=%d -> ext=%.3f\n", a,
                   tight[a] ? sil[a] : -1.0f, tight[a] ? 1 : 0, ext[a]);
   }
+  // Unobservable-axis floor: along the viewing direction triangulation
+  // noise swamps the object's own depth structure (measured: the cloud's
+  // |z-c| tops out at ~0.6x the true half-extent even BEFORE trimming —
+  // points never reach the front pole), and no silhouette is transverse
+  // to that axis, so neither estimator can see it. The error costs are
+  // asymmetric: an extent too SMALL clips the NeRF training volume and
+  // truncates the field (the mesh-support refinement then rejects the
+  // axis too), while an extent too LARGE only spends grid resolution on
+  // empty space. So when both other axes are silhouette-confirmed, floor
+  // the blind axis at 0.8x their minimum; the flag stays non-tight so
+  // downstream keeps the cautious volume margin and the NeRF-mesh
+  // refinement still owns the final number.
+  for (int a = 0; a < 3; ++a) {
+    if (tight[a]) continue;
+    const int b = (a + 1) % 3, c2 = (a + 2) % 3;
+    if (!(tight[b] && tight[c2])) continue;
+    const float floor_ext = 0.8f * std::min(ext[b], ext[c2]);
+    if (ext[a] < floor_ext) {
+      if (std::getenv("ROMAP_EXT_DEBUG"))
+        std::printf("[ext] axis %d blind-axis floor %.3f -> %.3f\n", a,
+                    ext[a], floor_ext);
+      ext[a] = floor_ext;
+    }
+  }
   Vec3 t_shape(-qc[0], -qc[1], -qc[2]);
   out->t_obj_w = SE3{r, t_shape};
   out->a1 = ext[0];
