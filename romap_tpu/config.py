@@ -72,6 +72,14 @@ class EncodingConfig:
     # "auto": fused Pallas kernel on TPU, chunked XLA elsewhere;
     # "pallas" / "xla" force an implementation.
     mx_impl: str = "auto"
+    # Fold the multi-level CP ladder through the finest level's tent basis
+    # (mxgrid.MXGridSpec.snap_levels): coarse hats are snapped to fine-grid
+    # knots and the fold matrix is absorbed into the line weights per step.
+    # Cuts the kernel's VPU hat-build and CP-matmul work ~2.7x at the
+    # flagship ladder. Slightly different (equally valid) basis — gated by
+    # the 3-seed 0.5 dB parity gate before default flip. MX_SNAP=1/0
+    # overrides at runtime for A/B runs.
+    mx_snap_levels: bool = False
     # hash-grid (tcnn-parity path) lookup implementation:
     # "gather" = direct XLA gather + scatter-add transpose;
     # "sorted" = argsort indices once, then sorted gather + sorted

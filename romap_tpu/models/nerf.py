@@ -24,6 +24,7 @@ Pipeline per object (all static shapes):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -54,6 +55,7 @@ from romap_tpu.ops.render import render_composite, volume_render
 def make_field_spec(cfg: NerfConfig):
     """Static encoding spec from config (mxgrid or hashgrid)."""
     if cfg.encoding.kind == "mxgrid":
+        snap_env = os.environ.get("MX_SNAP")
         return mxgrid.make_mxspec(
             n_levels=cfg.encoding.mx_levels,
             base_resolution=cfg.encoding.base_resolution,
@@ -61,6 +63,8 @@ def make_field_spec(cfg: NerfConfig):
             features=cfg.encoding.mx_features,
             plane_specs=cfg.encoding.plane_specs,
             plane_axes=cfg.encoding.mx_plane_axes,
+            snap_levels=(cfg.encoding.mx_snap_levels if snap_env is None
+                         else snap_env != "0"),
         )
     return hashgrid.make_spec(cfg.encoding)
 

@@ -66,14 +66,58 @@ class MXGridSpec:
     # fine-u and one coarse-v appearance.
     plane_axes: tuple[tuple[int, int, int], ...] = (
         (0, 1, 2), (0, 2, 1), (1, 2, 0))
+    # snap_levels: evaluate the multi-level CP basis THROUGH the finest
+    # level's tent basis: every coarse hat is (re)defined as its linear
+    # interpolation on the finest grid, hat_l = C_l @ hat_fine, and the
+    # constant fold matrix C is absorbed into the line weights per step
+    # (W_eff = C^T W — one tiny matmul per step, not per point). The kernel
+    # then builds ONE [r_fine, T] basis per axis instead of the [total_res,
+    # T] concatenated stack — for the flagship ladder (16..192, total 465
+    # pad 512) that is 2.7x less VPU hat work AND 2.7x less CP-matmul MXU
+    # work per axis. Semantics: coarse-level features become piecewise-
+    # linear with knots on the FINE grid (identical at fine nodes); when
+    # every (r_l - 1) divides (r_fine - 1) the fold is EXACT, otherwise
+    # hat corners shift by < 1/(r_fine-1) — a new (equally valid) basis
+    # that must pass the 3-seed 0.5 dB parity gate before becoming default.
+    snap_levels: bool = False
 
     @property
     def plane_out_dims(self) -> int:
         return 3 * sum(k for _, _, k in self.plane_specs)
 
     @property
+    def fold_res(self) -> tuple[int, int]:
+        """(finest resolution, 16-padded row count) of the folded basis."""
+        rf = max(self.resolutions)
+        return rf, ((rf + 15) // 16) * 16
+
+    @property
     def n_output_dims(self) -> int:
         return self.features + self.plane_out_dims
+
+
+def fold_matrix(spec: MXGridSpec) -> np.ndarray:
+    """[total_res, rfp] fold: row (level l, index b) holds coarse hat b of
+    level l sampled at the finest grid's nodes, so C @ hat_fine(x) is the
+    fine-grid linear interpolation of the whole concatenated multi-level
+    basis. The finest level's block is the identity; rfp pad columns are
+    zero (and the matching hat pad rows are exactly zero)."""
+    rf, rfp = spec.fold_res
+    c = np.zeros((spec.total_res, rfp), np.float32)
+    nodes = np.arange(rf, dtype=np.float64) / (rf - 1)
+    for r, off in zip(spec.resolutions, spec.offsets):
+        z = nodes[None, :] * (r - 1) - np.arange(r, dtype=np.float64)[:, None]
+        c[off : off + r, :rf] = np.maximum(0.0, 1.0 - np.abs(z))
+    return c
+
+
+def fold_lines(lines: jax.Array, spec: MXGridSpec) -> jax.Array:
+    """W [3, total_res, K] -> effective fine-basis weights [3, rfp, K]
+    (fp32 contraction, cast back to the parameter dtype)."""
+    c = jnp.asarray(fold_matrix(spec))
+    out = jnp.einsum("drk,rf->dfk", lines.astype(jnp.float32), c,
+                     preferred_element_type=jnp.float32)
+    return out.astype(lines.dtype)
 
 
 def make_mxspec(
@@ -86,6 +130,7 @@ def make_mxspec(
     plane_features: int = 0,
     plane_specs: tuple[tuple[int, int], ...] | None = None,
     plane_axes: str = "uuv",
+    snap_levels: bool = False,
 ) -> MXGridSpec:
     if n_levels > 1:
         b = (max_resolution / base_resolution) ** (1.0 / (n_levels - 1))
@@ -107,6 +152,7 @@ def make_mxspec(
     return MXGridSpec(
         resolutions=res, features=features, offsets=tuple(offsets), total_res=off,
         chunk=chunk, plane_specs=norm, plane_axes=axes,
+        snap_levels=snap_levels,
     )
 
 
@@ -162,8 +208,15 @@ def _encode_chunk(factors, pts: jax.Array, spec: MXGridSpec) -> jax.Array:
     lines = factors["lines"] if isinstance(factors, dict) else factors
     ax = []
     for d in range(3):
-        h = hat_basis(pts[:, d], spec)
-        ax.append(jnp.dot(h, lines[d], preferred_element_type=lines.dtype))
+        if spec.snap_levels:
+            # lines arrive pre-folded ([3, rfp, K], see encode()): one
+            # finest-level hat replaces the concatenated ladder stack
+            h = _hat1(pts[:, d], spec.fold_res[0])
+            w = lines[d][: h.shape[1]]
+        else:
+            h = hat_basis(pts[:, d], spec)
+            w = lines[d]
+        ax.append(jnp.dot(h, w, preferred_element_type=lines.dtype))
     out = ax[0] * ax[1] * ax[2]
     if not isinstance(factors, dict):
         return out
@@ -201,6 +254,14 @@ def encode(factors: jax.Array, p: jax.Array, spec: MXGridSpec) -> jax.Array:
     """
     batch_shape = p.shape[:-1]
     dtype = (factors["lines"] if isinstance(factors, dict) else factors).dtype
+    if spec.snap_levels:
+        # fold ONCE per call (outside the chunk loop and the checkpoint):
+        # the chunks then see effective fine-basis weights. Gradients flow
+        # through the fold einsum — exact, since the fold is linear.
+        if isinstance(factors, dict):
+            factors = dict(factors, lines=fold_lines(factors["lines"], spec))
+        else:
+            factors = fold_lines(factors, spec)
     pts = p.reshape(-1, 3).astype(dtype)
     n = pts.shape[0]
     chunk = spec.chunk

@@ -149,19 +149,40 @@ def _cp_fwd_body(x_ref, a_ref, b_ref, w_ref, afac_ref):
         ).astype(afac_ref.dtype)
 
 
+class _HatCache:
+    """Per-tile tent-basis cache: identical (axis, res, dtype, rows) builds
+    are shared — with balanced axis assignment each axis appears once as a
+    fine u and once as a fine w (same resolution), and the folded CP path
+    reuses the same machinery, so the VPU builds each distinct basis once
+    per tile instead of once per consumer."""
+
+    def __init__(self, x_ref):
+        self.x_ref = x_ref
+        self.cache = {}
+
+    def __call__(self, axis: int, r: int, dtype, rows: int | None = None):
+        key = (axis, r, jnp.dtype(dtype).name, rows)
+        if key not in self.cache:
+            self.cache[key] = _hat1_t(self.x_ref[axis, :], r, dtype,
+                                      rows=rows)
+        return self.cache[key]
+
+
 def _plane_fwd_body(plane_specs, plane_axes, x_ref, planes_refs, plines_refs,
-                    fpl_ref, fli_ref, out_ref=None, out_off=0):
+                    fpl_ref, fli_ref, out_ref=None, out_off=0, hat=None):
     """Per level/pair: f_pl (plane sample) and f_li (line sample) residuals;
     when `out_ref` is given, also writes their product at row out_off+row
     (the fused kernel's output block)."""
     mm = planes_refs[0].dtype
     t = x_ref.shape[1]
+    if hat is None:
+        hat = _HatCache(x_ref)
     row = 0
     for lvl, (ru, rv, kp) in enumerate(plane_specs):
         bb = _plane_block(rv)
         for i, (u, v, w) in enumerate(plane_axes):
-            hu = _hat1_t(x_ref[u, :], ru, mm)  # [Ru, T]
-            hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)  # [B, T]
+            hu = hat(u, ru, mm)  # [Ru, T]
+            hv = hat(v, rv, jnp.float32, rows=bb)  # [B, T]
             t_all = jnp.dot(
                 planes_refs[lvl][i], hu, preferred_element_type=jnp.float32
             )  # [Kp*B, T]
@@ -169,7 +190,7 @@ def _plane_fwd_body(plane_specs, plane_axes, x_ref, planes_refs, plines_refs,
                 t_all.reshape(kp, bb, t) * hv[None], axis=1
             )  # [Kp, T] — sublane-dim reduce, no lane crossing
             f_li = jnp.dot(
-                plines_refs[lvl][i], _hat1_t(x_ref[w, :], max(ru, rv), mm),
+                plines_refs[lvl][i], hat(w, max(ru, rv), mm),
                 preferred_element_type=jnp.float32,
             )  # [Kp, T]
             fpl_ref[row : row + kp, :] = f_pl.astype(fpl_ref.dtype)
@@ -204,12 +225,14 @@ def _cp_grad_body(x_ref, a_ref, b_ref, afac_ref, g, dw_ref):
 
 
 def _plane_grad_body(plane_specs, plane_axes, x_ref, fpl_ref, fli_ref, g_ref,
-                     g_off, dplanes_refs, dplines_refs):
+                     g_off, dplanes_refs, dplines_refs, hat=None):
     """dP/dL accumulation for every plane level/pair. `g_off` is the row of
     g_ref where the plane block starts (0 for the split kernel, K for the
     fused one)."""
     mm = fpl_ref.dtype
     t = x_ref.shape[1]
+    if hat is None:
+        hat = _HatCache(x_ref)
     row = 0
     for lvl, (ru, rv, kp) in enumerate(plane_specs):
         bb = _plane_block(rv)
@@ -217,9 +240,9 @@ def _plane_grad_body(plane_specs, plane_axes, x_ref, fpl_ref, fli_ref, g_ref,
             gi = g_ref[g_off + row : g_off + row + kp, :].astype(jnp.float32)
             f_pl = fpl_ref[row : row + kp, :].astype(jnp.float32)
             f_li = fli_ref[row : row + kp, :].astype(jnp.float32)
-            hu = _hat1_t(x_ref[u, :], ru, mm)
-            hv = _hat1_t(x_ref[v, :], rv, jnp.float32, rows=bb)
-            hw = _hat1_t(x_ref[w, :], max(ru, rv), mm)
+            hu = hat(u, ru, mm)
+            hv = hat(v, rv, jnp.float32, rows=bb)
+            hw = hat(w, max(ru, rv), mm)
             dplines_refs[lvl][i] += _dot_t((gi * f_pl).astype(mm), hw)
             # d t_all[k*B+v, t] = hv[v, t] * (gi * f_li)[k, t]
             prod = (
@@ -390,6 +413,212 @@ def _fused_backward(factors, xt, npad, afac, fpl, fli, g_t,
     )(xt, a[:, None], b[:, None], afac, fpl, fli, g_t)
 
 
+# --------------------------------------------------------------------------
+# Folded (snap_levels) kernels: the multi-level CP ladder is absorbed into
+# the finest level's tent basis (W_eff = C^T W, mxgrid.fold_lines), so the
+# kernel builds ONE [rfp, T] hat per axis for the whole CP stack — 2.7x
+# less VPU hat work and CP-matmul MXU work at the flagship ladder — and the
+# _HatCache shares it with nothing (CP fine res differs from plane res) but
+# shares the plane u/w hats exactly like the unfolded path.
+# --------------------------------------------------------------------------
+
+
+def _folded_cp_fwd_body(rf, rfp, x_ref, w_ref, afac_ref, hat):
+    mm = w_ref.dtype
+    for d in range(3):
+        afac_ref[d] = jnp.dot(
+            w_ref[d], hat(d, rf, mm, rows=rfp),
+            preferred_element_type=jnp.float32,
+        ).astype(afac_ref.dtype)
+
+
+def _folded_cp_grad_body(rf, rfp, x_ref, afac_ref, g, dw_ref, hat):
+    mm = afac_ref.dtype
+    g = g.astype(jnp.float32)
+    a0 = afac_ref[0].astype(jnp.float32)
+    a1 = afac_ref[1].astype(jnp.float32)
+    a2 = afac_ref[2].astype(jnp.float32)
+    others = ((a1, a2), (a0, a2), (a0, a1))
+    for d in range(3):
+        ae, af = others[d]
+        u = (g * ae * af).astype(mm)  # [K, T]
+        dw_ref[d] += _dot_t(u, hat(d, rf, mm, rows=rfp))  # [K, rfp]
+
+
+def _make_folded_fused_fwd_kernel(plane_specs, plane_axes, k_cp, rf, rfp):
+    n_lvl = len(plane_specs)
+
+    def kernel(x_ref, w_ref, *refs):
+        planes_refs = refs[:n_lvl]
+        plines_refs = refs[n_lvl : 2 * n_lvl]
+        out_ref, afac_ref, fpl_ref, fli_ref = refs[2 * n_lvl : 2 * n_lvl + 4]
+        hat = _HatCache(x_ref)
+        _folded_cp_fwd_body(rf, rfp, x_ref, w_ref, afac_ref, hat)
+        prod = (afac_ref[0][...].astype(jnp.float32)
+                * afac_ref[1][...].astype(jnp.float32)
+                * afac_ref[2][...].astype(jnp.float32))
+        out_ref[:k_cp, :] = prod.astype(out_ref.dtype)
+        _plane_fwd_body(plane_specs, plane_axes, x_ref, planes_refs,
+                        plines_refs, fpl_ref, fli_ref, out_ref, k_cp,
+                        hat=hat)
+
+    return kernel
+
+
+def _make_folded_fused_bwd_kernel(plane_specs, plane_axes, k_cp, rf, rfp):
+    n_lvl = len(plane_specs)
+
+    def kernel(x_ref, afac_ref, fpl_ref, fli_ref, g_ref, *drefs):
+        dw_ref = drefs[0]
+        dplanes_refs = drefs[1 : 1 + n_lvl]
+        dplines_refs = drefs[1 + n_lvl :]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in drefs:
+                r[...] = jnp.zeros_like(r)
+
+        hat = _HatCache(x_ref)
+        _folded_cp_grad_body(rf, rfp, x_ref, afac_ref, g_ref[:k_cp, :],
+                             dw_ref, hat)
+        _plane_grad_body(plane_specs, plane_axes, x_ref, fpl_ref, fli_ref,
+                         g_ref, k_cp, dplanes_refs, dplines_refs, hat=hat)
+
+    return kernel
+
+
+def _folded_w_t(factors, spec: MXGridSpec):
+    from romap_tpu.ops.mxgrid import fold_lines
+
+    return fold_lines(_lines_of(factors), spec).transpose(0, 2, 1)
+
+
+def _folded_fused_forward(factors, xt, npad, spec: MXGridSpec,
+                          interpret: bool):
+    """Folded twin of _fused_forward: same outputs, [3, K, rfp] weights."""
+    rf, rfp = spec.fold_res
+    k = spec.features
+    w_t = _folded_w_t(factors, spec)  # [3, K, rfp]
+    planes = _planes_t(factors, spec)
+    plines = [p.transpose(0, 2, 1) for p in factors["plane_lines"]]
+    kout_pl = spec.plane_out_dims
+    grid = npad // TILE
+    tile = lambda rows: pl.BlockSpec((rows, TILE), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        _const_spec((3, k, rfp)),
+    ]
+    in_specs += [_const_spec(p.shape) for p in planes]
+    in_specs += [_const_spec(p.shape) for p in plines]
+    out_specs = (
+        tile(k + kout_pl),
+        pl.BlockSpec((3, k, TILE), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        tile(kout_pl),
+        tile(kout_pl),
+    )
+    dt = w_t.dtype
+    return pl.pallas_call(
+        _make_folded_fused_fwd_kernel(spec.plane_specs, spec.plane_axes, k,
+                                      rf, rfp),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct((k + kout_pl, npad), dt),
+            jax.ShapeDtypeStruct((3, k, npad), dt),
+            jax.ShapeDtypeStruct((kout_pl, npad), dt),
+            jax.ShapeDtypeStruct((kout_pl, npad), dt),
+        ),
+        interpret=interpret,
+    )(xt, w_t, *planes, *plines)
+
+
+def _unfold_dlines(dw_eff, spec: MXGridSpec, dtype):
+    """dW_eff [3, K, rfp] (fp32) -> dW [3, total_res, K]: the fold is
+    linear, so its transpose maps effective-basis gradients back."""
+    from romap_tpu.ops.mxgrid import fold_matrix
+
+    c = jnp.asarray(fold_matrix(spec))  # [total_res, rfp]
+    return jnp.einsum("dkf,rf->drk", dw_eff, c).astype(dtype)
+
+
+def _folded_fused_backward(factors, xt, npad, afac, fpl, fli, g_t,
+                           spec: MXGridSpec, interpret: bool):
+    rf, rfp = spec.fold_res
+    k = spec.features
+    kout_pl = spec.plane_out_dims
+    grid = npad // TILE
+    tile = lambda rows: pl.BlockSpec((rows, TILE), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+    dplane_shapes = [
+        jax.ShapeDtypeStruct((3, kk * _plane_block(rv), ru), jnp.float32)
+        for ru, rv, kk in spec.plane_specs
+    ]
+    dpline_shapes = [
+        jax.ShapeDtypeStruct((3, kk, max(ru, rv)), jnp.float32)
+        for ru, rv, kk in spec.plane_specs
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((3, k, rfp), jnp.float32)]
+    out_shapes += dplane_shapes + dpline_shapes
+    return pl.pallas_call(
+        _make_folded_fused_bwd_kernel(spec.plane_specs, spec.plane_axes, k,
+                                      rf, rfp),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, k, TILE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            tile(kout_pl),
+            tile(kout_pl),
+            tile(k + kout_pl),
+        ],
+        out_specs=tuple(_const_spec(s.shape) for s in out_shapes),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(xt, afac, fpl, fli, g_t)
+
+
+def _folded_cp_kernel(rf, rfp):
+    def kernel(x_ref, w_ref, afac_ref):
+        _folded_cp_fwd_body(rf, rfp, x_ref, w_ref, afac_ref,
+                            _HatCache(x_ref))
+
+    return kernel
+
+
+def _folded_bwd_cp_kernel(rf, rfp):
+    def kernel(x_ref, afac_ref, g_ref, dw_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        _folded_cp_grad_body(rf, rfp, x_ref, afac_ref, g_ref[:], dw_ref,
+                             _HatCache(x_ref))
+
+    return kernel
+
+
+def _folded_cp_forward(factors, xt, npad, spec: MXGridSpec, interpret: bool):
+    rf, rfp = spec.fold_res
+    k = spec.features
+    w_t = _folded_w_t(factors, spec)
+    grid = npad // TILE
+    return pl.pallas_call(
+        _folded_cp_kernel(rf, rfp),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            _const_spec((3, k, rfp)),
+        ],
+        out_specs=pl.BlockSpec((3, k, TILE), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, k, npad), w_t.dtype),
+        interpret=interpret,
+    )(xt, w_t)
+
+
 def _make_bwd_planes_kernel(plane_specs, plane_axes):
     n_lvl = len(plane_specs)
 
@@ -499,10 +728,11 @@ def _fwd_impl_t(factors, pts, spec: MXGridSpec, interpret: bool):
     """Transposed forward: returns out [kout, n] (points in lanes)."""
     xt, n, npad = _pad_and_tile(pts, TILE)
     if spec.plane_specs and FUSED_FWD:
-        out, afac, fpl, fli = _fused_forward(factors, xt, npad, spec,
-                                             interpret)
+        fused = _folded_fused_forward if spec.snap_levels else _fused_forward
+        out, afac, fpl, fli = fused(factors, xt, npad, spec, interpret)
         return out[:, :n], (afac, fpl, fli)
-    afac = _cp_forward(factors, xt, npad, spec, interpret)
+    cp_fwd = _folded_cp_forward if spec.snap_levels else _cp_forward
+    afac = cp_fwd(factors, xt, npad, spec, interpret)
     out_cp = afac[0] * afac[1] * afac[2]  # [K, npad]
     if not spec.plane_specs:
         return out_cp[:, :n], (afac, None, None)
@@ -533,10 +763,15 @@ def _bwd_impl_t(factors, pts, res, g_in, spec: MXGridSpec, interpret: bool):
 
     if (FUSED_FWD and spec.plane_specs and fpl is not None
             and fpl.shape[1] == npad):
-        outs = _fused_backward(factors, xt, npad, afac, fpl, fli, g_t,
-                               spec, interpret)
-        dlines = (outs[0].transpose(0, 2, 1)[:, : spec.total_res, :]
-                  .astype(lines.dtype))
+        if spec.snap_levels:
+            outs = _folded_fused_backward(factors, xt, npad, afac, fpl, fli,
+                                          g_t, spec, interpret)
+            dlines = _unfold_dlines(outs[0], spec, lines.dtype)
+        else:
+            outs = _fused_backward(factors, xt, npad, afac, fpl, fli, g_t,
+                                   spec, interpret)
+            dlines = (outs[0].transpose(0, 2, 1)[:, : spec.total_res, :]
+                      .astype(lines.dtype))
         n_lvl = len(spec.plane_specs)
         dt = lines.dtype
         return {
@@ -552,22 +787,44 @@ def _bwd_impl_t(factors, pts, res, g_in, spec: MXGridSpec, interpret: bool):
             ),
         }
 
-    dw_t = pl.pallas_call(
-        _bwd_cp_kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            _const_spec((rp, 1)),
-            _const_spec((rp, 1)),
-            pl.BlockSpec((3, k, TILE), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=_const_spec((3, k, rp)),
-        out_shape=jax.ShapeDtypeStruct((3, k, rp), jnp.float32),
-        interpret=interpret,
-    )(xt, a[:, None], b[:, None], afac, g_t[:k])
-    dlines = dw_t.transpose(0, 2, 1)[:, : spec.total_res, :].astype(lines.dtype)
+    if spec.snap_levels:
+        rf, rfp = spec.fold_res
+        dw_t = pl.pallas_call(
+            _folded_bwd_cp_kernel(rf, rfp),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((3, TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, k, TILE), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=_const_spec((3, k, rfp)),
+            out_shape=jax.ShapeDtypeStruct((3, k, rfp), jnp.float32),
+            interpret=interpret,
+        )(xt, afac, g_t[:k])
+        dlines = _unfold_dlines(dw_t, spec, lines.dtype)
+    else:
+        dw_t = pl.pallas_call(
+            _bwd_cp_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((3, TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                _const_spec((rp, 1)),
+                _const_spec((rp, 1)),
+                pl.BlockSpec((3, k, TILE), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, TILE), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=_const_spec((3, k, rp)),
+            out_shape=jax.ShapeDtypeStruct((3, k, rp), jnp.float32),
+            interpret=interpret,
+        )(xt, a[:, None], b[:, None], afac, g_t[:k])
+        dlines = (dw_t.transpose(0, 2, 1)[:, : spec.total_res, :]
+                  .astype(lines.dtype))
     if not spec.plane_specs:
         return dlines
 

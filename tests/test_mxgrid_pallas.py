@@ -216,3 +216,67 @@ def test_transposed_encode_and_mlp_match_untransposed():
     g1 = jax.grad(loss_t)(factors)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g0, g1)
+
+
+def test_snap_levels_exact_when_knots_align():
+    """When every (r_l - 1) divides (r_fine - 1) the folded basis IS the
+    original basis: snap_levels must be numerically a no-op (resolutions
+    3, 5, 9: coarse knots all land on fine nodes)."""
+    mk = lambda snap: mxgrid.make_mxspec(
+        n_levels=3, base_resolution=3, max_resolution=9, features=8,
+        snap_levels=snap)
+    s0, s1 = mk(False), mk(True)
+    assert s0.resolutions == (3, 5, 9)
+    factors = jnp.asarray(RNG.normal(size=(3, s0.total_res, 8)), jnp.float32)
+    pts = jnp.asarray(RNG.uniform(0, 1, (410, 3)), jnp.float32)
+    want = np.asarray(mxgrid.encode(factors, pts, s0))
+    got_xla = np.asarray(mxgrid.encode(factors, pts, s1))
+    got_pl = np.asarray(mxgrid_pallas.encode(factors, pts, s1, interpret=True))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_pl, want, rtol=1e-4, atol=1e-5)
+
+
+def test_snap_levels_pallas_matches_xla_cp_only():
+    """General ladder (knots NOT aligned): the folded pallas kernel must
+    match the folded XLA path (same snapped semantics), fwd + grad."""
+    s = mxgrid.make_mxspec(n_levels=3, base_resolution=4, max_resolution=32,
+                           features=16, snap_levels=True)
+    factors = jnp.asarray(RNG.normal(size=(3, s.total_res, 16)), jnp.float32)
+    pts = jnp.asarray(RNG.uniform(0, 1, (700, 3)), jnp.float32)
+    want = np.asarray(mxgrid.encode(factors, pts, s))
+    got = np.asarray(mxgrid_pallas.encode(factors, pts, s, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    tgt = jnp.asarray(RNG.normal(size=(700, 16)), jnp.float32)
+    g_xla = jax.grad(
+        lambda f: jnp.sum((mxgrid.encode(f, pts, s) - tgt) ** 2))(factors)
+    g_pl = jax.grad(
+        lambda f: jnp.sum(
+            (mxgrid_pallas.encode(f, pts, s, interpret=True) - tgt) ** 2
+        ))(factors)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_snap_levels_fused_planes_match_xla():
+    """Folded FUSED kernel (CP + rectangular planes, balanced axes) vs the
+    folded XLA path: fwd + every gradient leaf."""
+    s = mxgrid.make_mxspec(n_levels=3, base_resolution=4, max_resolution=32,
+                           features=16, plane_specs=((24, 16, 8),),
+                           plane_axes="balanced", snap_levels=True)
+    factors = mxgrid.init_mxgrid(jax.random.PRNGKey(11), s)
+    pts = jnp.asarray(RNG.uniform(0, 1, (700, 3)), jnp.float32)
+    want = np.asarray(mxgrid.encode(factors, pts, s))
+    got = np.asarray(mxgrid_pallas.encode(factors, pts, s, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+    tgt = jnp.asarray(RNG.normal(size=(700, s.n_output_dims)), jnp.float32)
+    g_xla = jax.grad(
+        lambda f: jnp.sum((mxgrid.encode(f, pts, s) - tgt) ** 2))(factors)
+    g_pl = jax.grad(
+        lambda f: jnp.sum(
+            (mxgrid_pallas.encode(f, pts, s, interpret=True) - tgt) ** 2
+        ))(factors)
+    for k in ("lines", "planes", "plane_lines"):
+        np.testing.assert_allclose(np.asarray(g_pl[k]), np.asarray(g_xla[k]),
+                                   rtol=1e-3, atol=1e-3, err_msg=k)
