@@ -97,6 +97,10 @@ def main() -> int:
                     "over these seeds against the anchor MEAN over the same "
                     "seeds (a 1-seed gate let ladder steps shave quality "
                     "inside the seed spread — VERDICT r4 weak #2)")
+    ap.add_argument("--record-key", default="parity_gate",
+                    help="QUALITY.json key to write under; candidate-config "
+                    "A/Bs (e.g. MX_SNAP=1) record under their own key so "
+                    "the shipping flagship's gate record is never clobbered")
     args = ap.parse_args()
 
     if args.smoke:
@@ -127,7 +131,7 @@ def main() -> int:
     psnr = float(np.mean(list(psnr_by_seed.values())))
     gap = anchor - psnr
     ok = gap <= THRESHOLD_DB
-    d["parity_gate"] = {
+    d[args.record_key] = {
         "flagship_psnr_db": round(psnr, 3),
         "hashgrid_anchor_db": round(anchor, 3),
         "gap_db": round(gap, 3),
@@ -142,7 +146,7 @@ def main() -> int:
     }
     with open(path, "w") as f:
         json.dump(d, f, indent=1)
-    print(json.dumps(d["parity_gate"]))
+    print(json.dumps(d[args.record_key]))
     if not ok:
         print(f"PARITY GATE FAILED: flagship mean {psnr:.2f} dB is "
               f"{gap:.2f} dB below the hashgrid anchor mean {anchor:.2f} dB "
