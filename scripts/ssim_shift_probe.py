@@ -40,6 +40,21 @@ def _score(renf, gt, obj_px):
     return psnr, _ssim(ga, gb, obj_px)
 
 
+def _sharpness_ratio(renf, gt, obj_px):
+    """High-frequency energy of the render relative to GT (Laplacian
+    variance over object pixels). A ratio well below 1 means the field is
+    BLURRED relative to GT — SSIM's contrast/structure terms collapse on
+    blur even where masked-mean PSNR stays decent, so this one number can
+    explain a low SSIM that integer-shift alignment cannot recover."""
+    import cv2
+
+    lap = lambda x: cv2.Laplacian(
+        x[..., :3].mean(-1).astype(np.float64), cv2.CV_64F)
+    la, lb = lap(renf)[obj_px], lap(gt)[obj_px]
+    vb = float(np.var(lb))
+    return float(np.var(la)) / vb if vb > 0 else float("nan")
+
+
 def probe_object(obj_dir: str, dataset: str, radius: int):
     manifest = os.path.join(obj_dir, "test.txt")
     if not os.path.exists(manifest):
@@ -89,7 +104,8 @@ def probe_object(obj_dir: str, dataset: str, radius: int):
                     best = (s, p, dy, dx)
         rows.append(dict(stamp=v["stamp"], ssim0=s0, psnr0=p0,
                          ssim_best=best[0], psnr_best=best[1],
-                         dy=best[2], dx=best[3]))
+                         dy=best[2], dx=best[3],
+                         sharp=_sharpness_ratio(renf, gt, obj_px)))
     if not rows:
         return None
     arr = lambda k: np.array([r[k] for r in rows])
@@ -103,6 +119,7 @@ def probe_object(obj_dir: str, dataset: str, radius: int):
             np.abs(np.stack([arr("dy"), arr("dx")], -1)).max(-1).mean()), 2),
         "views_preferring_nonzero_shift": int(
             ((arr("dy") != 0) | (arr("dx") != 0)).sum()),
+        "sharpness_ratio_vs_gt": round(float(np.nanmean(arr("sharp"))), 3),
     }
 
 
