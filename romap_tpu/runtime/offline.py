@@ -42,6 +42,7 @@ class OfflineRunner:
         use_depth: bool = False,
         mesh: bool = True,
         device_mesh: "jax.sharding.Mesh | None" = None,
+        holdout: int | None = None,
     ):
         if isinstance(network_config, NerfConfig):
             self.cfg = network_config
@@ -52,6 +53,15 @@ class OfflineRunner:
         self.spec = nerf.make_field_spec(self.cfg)
         self.use_depth = use_depth
         self.mesh_enabled = mesh
+        # holdout=N: every Nth per-object view is EXCLUDED from training
+        # supervision and becomes the eval view set. The reference's offline
+        # path trains on every view and external tooling scores a subset of
+        # the SAME views (train-set leakage when quoting the result as a
+        # quality ceiling); the online pipeline never uploads its held-out
+        # eval frames (mono_tum.cc dense_holdout). Ceiling studies must
+        # compare like with like, so None (reference parity) stays the
+        # default and seed/adversarial studies pass the online protocol's 4.
+        self.holdout = holdout
         # Multi-chip by default: object-axis dp over the local device mesh,
         # capacity padded to a mesh multiple; frames replicated (the
         # TPU-native form of the reference's one-replica-per-GPU offline
@@ -110,9 +120,14 @@ class OfflineRunner:
             objs["tow"][oi] = d.tow
             objs["instance_id"][oi] = d.cls  # mInstanceId = uint8(class)
             nb = 0
-            for stamp, box in zip(d.stamps, d.bboxes):
+            held = o.setdefault("holdout_views", [])
+            for serial, (stamp, box) in enumerate(zip(d.stamps, d.bboxes)):
                 fid = stamp_to_idx.get(stamp)
                 if fid is None:
+                    continue
+                if self.holdout and serial % self.holdout == 0:
+                    held.append(dict(stamp=stamp, twc=self.meta.poses[fid],
+                                     box=tuple(int(v) for v in box)))
                     continue
                 objs["bboxes"][oi, nb] = (fid, box[0], box[1], box[2], box[3])
                 nb += 1
@@ -187,7 +202,9 @@ class OfflineRunner:
                     continue
                 views.append(dict(stamp=stamp, twc=self.meta.poses[fid],
                                   box=tuple(int(v) for v in box)))
-            test_views = views[::test_every]
+            # leakage-free protocol: when training held views out, those
+            # exact views are the eval set (they were never supervision)
+            test_views = (o.get("holdout_views") or views[::test_every])
             radius = 5.0 * float(np.max(d.half_extents))
             artifacts.render_test_artifacts(
                 out_dir, oi, self.params_of(oi), self.meta.intrinsics,
@@ -219,6 +236,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--mc-res", type=int, help="marching cubes res (default 64)")
     ap.add_argument("--mx-features", type=int, help="mxgrid channels (default 64)")
     ap.add_argument("--mx-max-res", type=int, help="mxgrid max resolution")
+    ap.add_argument("--holdout", type=int, default=None,
+                    help="exclude every Nth per-object view from training "
+                    "and evaluate on exactly those views (leakage-free "
+                    "ceiling protocol matching the online pipeline's "
+                    "dense_holdout; default: reference parity, train on "
+                    "all views)")
     args = ap.parse_args(argv)
 
     cfg = (NerfConfig() if args.network_config == "-"
@@ -240,7 +263,8 @@ def main(argv: list[str] | None = None) -> None:
     if enc_kw:
         cfg = dataclasses.replace(cfg, encoding=dataclasses.replace(cfg.encoding, **enc_kw))
 
-    runner = OfflineRunner(args.dataset, cfg, use_depth=bool(args.use_gt_depth))
+    runner = OfflineRunner(args.dataset, cfg, use_depth=bool(args.use_gt_depth),
+                           holdout=args.holdout)
     n = runner.create_nerfs_from_dir()
     print(f"Create {n} NeRF instances ...")
     runner.train(waves=args.waves, steps_per_wave=args.steps_per_wave,

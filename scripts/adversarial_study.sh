@@ -38,9 +38,12 @@ for SC in "${SCENES[@]}"; do
   if [ ! -f "$OFF/eval.json" ] && [ -d "$OUT/dataset" ]; then
     echo "== offline ceiling: scene $SC =="
     mkdir -p "$OFF"
+    # --holdout 4: leakage-free ceiling — train WITHOUT every 4th view and
+    # eval on exactly those (the online pipeline never uploads its held-out
+    # frames; a ceiling trained on its own eval views would be inflated)
     PYTHONPATH="$REPO:$PYTHONPATH" timeout -k 30 2400 python -m \
       romap_tpu.runtime.offline - "$OUT/dataset" 1 --out "$OFF" --no-video \
-      > "$OFF/offline.log" 2>&1 || echo "(offline run failed: $SC)"
+      --holdout 4 > "$OFF/offline.log" 2>&1 || echo "(offline run failed: $SC)"
     PYTHONPATH="$REPO:$PYTHONPATH" python -m romap_tpu.utils.eval_psnr \
       "$OFF" "$OUT/dataset" --json "$OFF/eval.json" || true
   fi
