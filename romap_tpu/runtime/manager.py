@@ -143,6 +143,15 @@ class NerfManagerOnline:
         self._classes: list[int] = []
         self._pending_waves = np.zeros(capacity, np.int64)
         self._wave_count = np.zeros(capacity, np.int64)
+        # cumulative bbox-earned wave budget, NEVER reset by re-inits: any
+        # from-scratch retrain (mid-run volume update or shutdown
+        # final_retrain) restores pending to exactly this — "retrain on the
+        # full accumulated supervision". _wave_count alone can't express
+        # that: it counts waves since the last reinit, so crediting it
+        # starved a late-volume-update slot's shutdown retrain to 1-2 waves
+        # (measured -1.0 dB on the round-5 seed study), while the round-4
+        # code that never zeroed it compounded 2^k (ADVICE r4 medium).
+        self._waves_earned = np.zeros(capacity, np.int64)
         # per-slot re-initialization count: folded into the reinit PRNG key
         # so repeated grow updates / the shutdown retrain draw FRESH inits
         # instead of restoring the same byte-identical params every time
@@ -345,6 +354,9 @@ class NerfManagerOnline:
         self._wave_count = np.concatenate(
             [self._wave_count, np.zeros(new_cap - old_cap, np.int64)]
         )
+        self._waves_earned = np.concatenate(
+            [self._waves_earned, np.zeros(new_cap - old_cap, np.int64)]
+        )
         self._reinit_count = np.concatenate(
             [self._reinit_count, np.zeros(new_cap - old_cap, np.int64)]
         )
@@ -365,6 +377,7 @@ class NerfManagerOnline:
             self._objs["bboxes"][idx, nb:end] = rows
             self._objs["n_bbox"][idx] = end
             self._pending_waves[idx] += int(train_step)
+            self._waves_earned[idx] += int(train_step)
 
     def _grow_bboxes(self) -> None:
         """Double the per-object bbox-row capacity. The keyframe-mode
@@ -413,11 +426,11 @@ class NerfManagerOnline:
                     ),
                     self.mesh,
                 )
-            # re-credit the spent budget and ZERO the spent counter: the
-            # re-credited waves re-increment _wave_count as they run, so
-            # leaving it set would double the budget on every subsequent
-            # reinit (grow updates / shutdown retrain) — 2^k compounding
-            self._pending_waves[idx] += self._wave_count[idx]
+            # the slot retrains from scratch, so pending is RESTORED to the
+            # full bbox-earned lifetime budget (not incremented by the
+            # since-last-reinit count — that compounds 2^k if never zeroed
+            # and starves the shutdown retrain if zeroed here)
+            self._pending_waves[idx] = self._waves_earned[idx]
             self._wave_count[idx] = 0
             self._meshes.pop(idx, None)  # stale mesh from the old field
             return True
@@ -586,7 +599,12 @@ class NerfManagerOnline:
                 n_waves = 0
                 if self.state is not None:
                     for idx in range(self._n_objects):
-                        if self._wave_count[idx] <= 0:
+                        # gate on the LIFETIME budget: _wave_count is zeroed
+                        # by mid-run volume updates, so a slot whose last
+                        # reinit came after its last wave would be skipped
+                        # (and one reinitialized late would retrain with
+                        # only its post-reinit waves — measured -1.0 dB)
+                        if self._waves_earned[idx] <= 0:
                             continue
                         self.state = shardlib.shard_objects(
                             nerf.reinit_slot(
@@ -595,8 +613,8 @@ class NerfManagerOnline:
                             ),
                             self.mesh,
                         )
-                        self._pending_waves[idx] += self._wave_count[idx]
-                        n_waves += int(self._wave_count[idx])
+                        self._pending_waves[idx] = self._waves_earned[idx]
+                        n_waves += int(self._waves_earned[idx])
                         self._wave_count[idx] = 0
                         n_slots += 1
                         self._meshes.pop(idx, None)

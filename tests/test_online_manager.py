@@ -445,3 +445,41 @@ def test_joint_ba_shutdown_rewrites_poses():
         np.testing.assert_allclose(a[:3, :3] @ a[:3, :3].T, np.eye(3),
                                    atol=1e-4)
     assert np.isfinite(mgr.losses()).all()
+
+
+def test_final_retrain_full_budget_after_late_volume_update():
+    """A volume update zeroes the since-reinit wave counter; the shutdown
+    retrain must still credit the slot's FULL lifetime budget (round-5 seed
+    study measured -1.0 dB when a late reinit starved the from-scratch
+    retrain to its post-reinit waves)."""
+    cam, objects, frames = make_world(n_frames=14)
+    mgr = NerfManagerOnline(tiny_cfg(), train_step_iterations=5, capacity=2)
+    mgr.dataset_init(cam.fx, cam.fy, cam.cx, cam.cy, cam.h, cam.w, len(frames))
+    for fi, f in enumerate(frames):
+        mgr.new_frame_to_dataset(fi, f["stamp"], f["rgb"], f["instance"],
+                                 pose=f["twc"])
+    obj = objects[0]
+    tow = np.eye(4, dtype=np.float32)
+    tow[:3, 3] = -obj.center
+    half = obj.aabb_half_extents()
+    idx = mgr.create_nerf(1, tow, -half, half)
+    rows = [(fi, *frames[fi]["bboxes"][obj.instance_id])
+            for fi in range(14) if frames[fi]["bboxes"][obj.instance_id]]
+    mgr.update_nerf_bbox(idx, rows[:12], 3)   # lifetime budget: 3 waves
+    assert mgr.pump() == 3
+
+    # late grow: counter zeroes, full budget re-credited and drained
+    mgr.update_nerf_volume(idx, tow, -half * 1.3, half * 1.3)
+    assert int(mgr._pending_waves[idx]) == 3
+    assert mgr.pump() == 3
+
+    # shutdown retrain: re-credits the LIFETIME 3 waves (not the 3-since-
+    # reinit by accident of this timeline — distinguish via a second late
+    # reinit with NO waves run after it: since-reinit count is 0, lifetime
+    # is still 3)
+    mgr.update_nerf_volume(idx, tow, -half * 1.4, half * 1.4)
+    assert int(mgr._wave_count[idx]) == 0
+    mgr.final_retrain = True
+    mgr.wait_threads_end()
+    # 3 retrain waves x 5 iters + final_waves(1) x 5 = 20
+    assert int(np.asarray(mgr.state.step)[idx]) == 20
