@@ -10,9 +10,10 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 SEEDS=("$@")
 [ ${#SEEDS[@]} -eq 0 ] && SEEDS=(0 1 2)
+STUDY="${ROMAP_STUDY_ROOT:-output/seed_study_r5b}"
 
 for SEED in "${SEEDS[@]}"; do
-  DS="output/seed_study_r5a/dense_seed${SEED}/dataset"
+  DS="$STUDY/dense_seed${SEED}/dataset"
   OFF="output/ceiling_r5_seed${SEED}"
   if [ ! -d "$DS" ]; then
     echo "(no dataset for seed $SEED at $DS — run the seed study first)"
