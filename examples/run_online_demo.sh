@@ -42,6 +42,10 @@ echo "== starting NeRF runtime server ($PLATFORM) =="
 rm -f "$SOCK"
 PLATFORM_FLAG=""
 [ "$PLATFORM" = "cpu" ] && PLATFORM_FLAG="--platform cpu --small"
+# ROMAP_DEMO_NO_FINAL_RETRAIN=1: keep the accumulated field at shutdown
+# (reference-parity; A/B for the retrain-vs-midrun-poses interplay)
+[ -n "$ROMAP_DEMO_NO_FINAL_RETRAIN" ] && \
+  PLATFORM_FLAG="$PLATFORM_FLAG --no-final-retrain"
 # ROMAP_DEMO_JOINT_BA=N: run N shutdown joint pose+field BA iterations
 [ -n "$ROMAP_DEMO_JOINT_BA" ] && \
   PLATFORM_FLAG="$PLATFORM_FLAG --joint-ba $ROMAP_DEMO_JOINT_BA"
