@@ -49,6 +49,11 @@ PLATFORM_FLAG=""
 # ROMAP_DEMO_JOINT_BA=N: run N shutdown joint pose+field BA iterations
 [ -n "$ROMAP_DEMO_JOINT_BA" ] && \
   PLATFORM_FLAG="$PLATFORM_FLAG --joint-ba $ROMAP_DEMO_JOINT_BA"
+# persistent XLA compile cache: a fresh relay worker otherwise cold-compiles
+# the whole program set (~10 min, surfaced as an UPDATE_VOLUME watchdog
+# stall on the run that first needs it). Harmless no-op where the platform
+# can't serialize executables.
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.jax_compile_cache}"
 PYTHONPATH="$REPO:$PYTHONPATH" python -m romap_tpu.runtime.server \
   --socket "$SOCK" --final-waves "$FINALW" $PLATFORM_FLAG > "$OUT/server.log" 2>&1 &
 SRV=$!

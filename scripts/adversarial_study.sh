@@ -27,7 +27,7 @@ for SC in "${SCENES[@]}"; do
     fi
     echo "== online: scene $SC =="
     env ROMAP_DEMO_SCENE="$SC" ROMAP_DEMO_SPARSE_DEPTH=1 ROMAP_DENSE_VIEWS=1 \
-      ROMAP_NO_VIDEO=1 timeout -k 30 1500 \
+      ROMAP_NO_VIDEO=1 timeout -k 30 2100 \
       "$REPO/examples/run_online_demo.sh" "$OUT" 300 tpu \
       || echo "(online run failed: $SC)"
   else

@@ -18,7 +18,7 @@ run_demo() {  # out_dir extra_env...
     rm -f "$OUT/server.pid"
   fi
   env "$@" ROMAP_DEMO_SPARSE_DEPTH=1 ROMAP_DENSE_VIEWS=1 ROMAP_NO_VIDEO=1 \
-    timeout -k 30 1500 examples/run_online_demo.sh "$OUT" 300 tpu \
+    timeout -k 30 2100 examples/run_online_demo.sh "$OUT" 300 tpu \
     || echo "(run failed: $OUT)"
   [ -f "$OUT/eval.json" ] && python -c "
 import json; d = json.load(open('$OUT/eval.json'))

@@ -30,7 +30,7 @@ for SEED in "$@"; do
   [ "$MODE" = dense ] && ENV+=(ROMAP_DENSE_VIEWS=1)
   # -k 30: SIGKILL grace period; the demo script traps TERM and kills its
   # server + mono_tum children (the EXIT trap alone never ran on timeout)
-  env "${ENV[@]}" timeout -k 30 1500 "$REPO/examples/run_online_demo.sh" \
+  env "${ENV[@]}" timeout -k 30 2100 "$REPO/examples/run_online_demo.sh" \
     "$OUT" 300 tpu || echo "(run failed: $MODE seed $SEED)"
   # only append a row when eval.json exists — failed runs are retried on
   # the next invocation (appending error rows would duplicate keys)
