@@ -54,7 +54,16 @@ def _device_probe(timeout_s: float = 180.0, attempts: int = 3) -> None:
         done = threading.Event()
         err: list[BaseException] = []
 
-        def probe(stall: bool = attempt < force_stall) -> None:
+        # done/err are bound as DEFAULT ARGS: each probe thread must report
+        # into its own attempt's state. With late-binding closures, a probe
+        # abandoned by a previous timed-out attempt that eventually errors
+        # (e.g. relay connection reset after ~200 s) would append into the
+        # CURRENT attempt's err and set its done — aborting the bench even
+        # though the live retry probe is healthy, which is exactly the
+        # one-stall-kills-the-record failure this retry armor exists for.
+        def probe(stall: bool = attempt < force_stall,
+                  done: "threading.Event" = done,
+                  err: list = err) -> None:
             try:
                 if stall:  # test hook: simulate a hung relay call
                     time.sleep(timeout_s + 60)

@@ -25,6 +25,11 @@ class SphereObject:
     def aabb_half_extents(self) -> np.ndarray:
         return np.full(3, self.radius, np.float32)
 
+    def gt_cuboid(self):
+        """(center, half_extents, yaw) of the bounding cuboid (yaw-free)."""
+        return (np.asarray(self.center, np.float64),
+                np.full(3, float(self.radius)), 0.0)
+
     def hit(self, o, d):
         """Ray-sphere: o [..,3], d unit [..,3] -> (t, hit). Nearest positive root."""
         oc = o - self.center
@@ -82,6 +87,15 @@ class BoxObject:
     def aabb_half_extents(self) -> np.ndarray:
         r = np.abs(self._rot())
         return (r @ np.asarray(self.half, np.float64)).astype(np.float32)
+
+    def gt_cuboid(self):
+        """(center_world, half_extents, yaw) of the minimal z-yaw-aligned
+        bounding cuboid — the quantity the SLAM object layer estimates
+        (18-yaw scoring, ref include/MapObject.h cuboid a1..a3). For a
+        yawed box that is the BODY-frame half extents, NOT the yaw-
+        inflated world AABB that `aabb_half_extents` returns."""
+        return (np.asarray(self.center, np.float64),
+                np.asarray(self.half, np.float64), float(self.yaw))
 
     @property
     def radius(self) -> float:  # bounding-sphere radius (sidecar compat)
@@ -155,6 +169,31 @@ class CompoundObject:
 
     def aabb_half_extents(self) -> np.ndarray:
         return self._half
+
+    def gt_cuboid(self):
+        """Minimal z-yaw-aligned bounding cuboid of the union: the frame is
+        the first part's yaw (all current compound scenes share one yaw;
+        spheres are yaw-invariant), each part contributes its AABB in that
+        frame, and the union box is mapped back to world."""
+        yaws = [float(getattr(p, "yaw", 0.0)) for p in self.parts]
+        yaw = yaws[0]
+        c, s = np.cos(yaw), np.sin(yaw)
+        rf = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        los, his = [], []
+        for p, py in zip(self.parts, yaws):
+            cf = rf.T @ np.asarray(p.center, np.float64)
+            if hasattr(p, "half"):
+                dy = py - yaw
+                cd, sd = np.cos(dy), np.sin(dy)
+                rd = np.abs(np.array([[cd, -sd, 0], [sd, cd, 0],
+                                      [0, 0, 1.0]]))
+                h = rd @ np.asarray(p.half, np.float64)
+            else:
+                h = np.full(3, float(p.radius))
+            los.append(cf - h)
+            his.append(cf + h)
+        lo, hi = np.min(los, axis=0), np.max(his, axis=0)
+        return rf @ ((lo + hi) / 2), (hi - lo) / 2, yaw
 
     @property
     def radius(self) -> float:

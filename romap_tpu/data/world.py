@@ -151,6 +151,15 @@ def _write_gt_sidecar(root: str, objs, seed: int = 0) -> None:
                  "radius": float(o.radius),
                  "kind": type(o).__name__,
                  "half_extents": [float(h) for h in o.aabb_half_extents()]}
+        if hasattr(o, "gt_cuboid"):
+            # minimal yaw-aligned cuboid — what the SLAM object layer
+            # estimates; half_extents above is the WORLD AABB, which for
+            # yawed geometry is inflated and would bias ext_ratio even for
+            # a perfect estimate
+            cc, ch, cy = o.gt_cuboid()
+            entry["cuboid_center"] = [float(x) for x in cc]
+            entry["cuboid_half_extents"] = [float(x) for x in ch]
+            entry["cuboid_yaw"] = float(cy)
         if hasattr(o, "surface_points"):
             entry["surface_points"] = np.round(
                 o.surface_points(1024, rng), 5).tolist()
@@ -176,9 +185,29 @@ def write_adversarial_dataset(root: str, scene: str, n_frames: int = 80,
       exposure — sphere + sinusoidal exposure drift (25%) + 1px mask noise
     """
     from romap_tpu.data.formats import write_dataset
-    from romap_tpu.data.synthetic import (
-        BoxObject, Camera, CompoundObject, Room, SphereObject, make_sequence,
-    )
+    from romap_tpu.data.synthetic import Camera, Room, make_sequence
+
+    obj, degrade = _adversarial_objects(scene, seed)
+    cam = Camera(fx=res * 0.95, fy=res * 0.95, cx=res * 2 / 3, cy=res / 2,
+                 h=res, w=int(res * 4 / 3))
+    frames = make_sequence(cam, [obj], n_frames, radius=2.4, room=Room(),
+                           arc=2.2)
+    if degrade:
+        degrade_frames(frames, np.random.default_rng(seed + 13), **degrade)
+    write_dataset(root, cam, frames, objects=[obj], use_depth=True)
+    _write_gt_sidecar(root, [obj], seed)
+
+
+def rewrite_gt_sidecar(root: str, scene: str, seed: int = 0) -> None:
+    """Regenerate ONLY gt_objects.json for an existing adversarial dataset
+    (object construction is seed-deterministic) — lets sidecar-format
+    upgrades re-score completed runs without re-rendering frames."""
+    obj, _ = _adversarial_objects(scene, seed)
+    _write_gt_sidecar(root, [obj], seed)
+
+
+def _adversarial_objects(scene: str, seed: int):
+    from romap_tpu.data.synthetic import BoxObject, CompoundObject, SphereObject
 
     rng = np.random.default_rng(seed + 7)
     col = lambda: rng.uniform(0.35, 1.0, 3)
@@ -212,15 +241,7 @@ def write_adversarial_dataset(root: str, scene: str, n_frames: int = 80,
     else:
         raise ValueError(f"unknown adversarial scene {scene!r}; "
                          f"options: {ADVERSARIAL_SCENES}")
-
-    cam = Camera(fx=res * 0.95, fy=res * 0.95, cx=res * 2 / 3, cy=res / 2,
-                 h=res, w=int(res * 4 / 3))
-    frames = make_sequence(cam, [obj], n_frames, radius=2.4, room=Room(),
-                           arc=2.2)
-    if degrade:
-        degrade_frames(frames, np.random.default_rng(seed + 13), **degrade)
-    write_dataset(root, cam, frames, objects=[obj], use_depth=True)
-    _write_gt_sidecar(root, [obj], seed)
+    return obj, degrade
 
 
 def write_room_dataset(root: str, n_frames: int = 80, res: int = 480,

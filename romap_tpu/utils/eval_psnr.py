@@ -397,13 +397,24 @@ def _cuboid_metrics(output_dir: str, dataset: str, align) -> dict:
             for k, v in json.load(f).items():
                 # non-sphere GT compares per-axis half-extents (sorted on
                 # both sides: the SLAM cuboid's yaw gauge is its own);
-                # spheres compare every axis against the radius
-                if v.get("kind", "SphereObject") != "SphereObject" and \
+                # spheres compare every axis against the radius.
+                # Prefer the minimal yaw-aligned cuboid GT when the sidecar
+                # carries it: for yawed geometry the world-AABB
+                # half_extents are inflated (|R(yaw)|·half) and would
+                # penalize even a PERFECT body-frame cuboid estimate.
+                if "cuboid_half_extents" in v:
+                    ref = np.sort(np.asarray(
+                        v["cuboid_half_extents"], np.float64))
+                    cen = np.asarray(
+                        v.get("cuboid_center", v["center"]), np.float64)
+                elif v.get("kind", "SphereObject") != "SphereObject" and \
                         "half_extents" in v:
                     ref = np.sort(np.asarray(v["half_extents"], np.float64))
+                    cen = np.asarray(v["center"], np.float64)
                 else:
                     ref = np.full(3, float(v["radius"]))
-                gt[k] = (np.asarray(v["center"], np.float64), ref)
+                    cen = np.asarray(v["center"], np.float64)
+                gt[k] = (cen, ref)
     except Exception:
         return {}
     if align is not None:

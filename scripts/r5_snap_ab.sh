@@ -26,7 +26,7 @@ python - "$OUT" <<'EOF'
 import json, os, sys
 out = sys.argv[1]
 q = json.load(open("QUALITY.json"))
-rec = q.setdefault("speeds_r9_snap", {})
+rec = q.setdefault("speeds_r5_snap", {})
 for snap in (0, 1):
     p = os.path.join(out, f"bench_snap{snap}.json")
     try:

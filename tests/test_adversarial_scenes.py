@@ -152,3 +152,47 @@ def test_mesh_metrics_chamfer_on_box(tmp_path):
     m2 = _mesh_metrics(write_mesh(1.7), root)
     assert abs(m2["mesh_scale_ratio"] - 1.7) < 0.1
     assert m2["mesh_chamfer_norm"] < 0.05  # scale-free shape metric
+
+
+def test_gt_cuboid_body_frame_not_world_aabb():
+    """The sidecar's cuboid GT must be the minimal yaw-aligned cuboid: a
+    PERFECT body-frame estimate of a yawed box scores ext_ratio 1.0 — the
+    world AABB (|R|·half) would penalize it even when exactly right."""
+    byaw = BoxObject(center=np.array([0.1, -0.2, 0.3]),
+                     half=np.array([0.5, 0.36, 0.3]), yaw=0.5,
+                     instance_id=1, base_color=np.ones(3))
+    cc, ch, cy = byaw.gt_cuboid()
+    assert np.allclose(ch, [0.5, 0.36, 0.3])
+    assert np.allclose(cc, byaw.center) and cy == 0.5
+    # the world AABB is strictly inflated in x/y for a yawed box
+    assert (byaw.aabb_half_extents()[:2] > ch[:2]).all()
+
+    # compound of two same-yaw boxes: the union in the shared yaw frame
+    a = BoxObject(center=np.zeros(3), half=np.array([0.55, 0.26, 0.16]),
+                  yaw=0.35, instance_id=1, base_color=np.ones(3))
+    comp = CompoundObject([a], instance_id=1)
+    cc, ch, cy = comp.gt_cuboid()
+    assert np.allclose(ch, a.half) and cy == 0.35
+    assert np.allclose(cc, a.center)
+
+
+def test_cuboid_metrics_perfect_yawed_box(tmp_path):
+    """End-to-end through the sidecar + _cuboid_metrics: writing the TRUE
+    body-frame cuboid into objects.txt scores ext_err_max ~0 on the yawed
+    boxnoise scene (was ~0.35 against the inflated world AABB)."""
+    from romap_tpu.utils.eval_psnr import _cuboid_metrics
+
+    root = str(tmp_path / "ds")
+    write_adversarial_dataset(root, "boxnoise", n_frames=3, res=48, seed=0)
+    gt = json.load(open(os.path.join(root, "gt_objects.json")))
+    e = next(iter(gt.values()))
+    assert "cuboid_half_extents" in e
+    out = tmp_path / "run"
+    out.mkdir()
+    c = e["cuboid_center"]
+    h = e["cuboid_half_extents"]
+    with open(out / "objects.txt", "w") as f:
+        f.write(f"0 1 {c[0]} {c[1]} {c[2]} 0 0 0 1 {h[0]} {h[1]} {h[2]}\n")
+    m = _cuboid_metrics(str(out), root, None)
+    assert m["objects"]["0"]["ext_err_max"] < 1e-6
+    assert m["objects"]["0"]["center_err"] < 1e-6
