@@ -10,7 +10,7 @@ set -x
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 
-for Q in /tmp/r5_queue6.pid /tmp/r5_queue5.pid; do
+for Q in /tmp/r5_queue8.pid /tmp/r5_queue6.pid /tmp/r5_queue5.pid; do
   while [ -f "$Q" ] && kill -0 "$(cat "$Q")" 2>/dev/null; do sleep 60; done
 done
 

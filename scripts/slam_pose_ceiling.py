@@ -105,11 +105,14 @@ def main():
 
     ds = os.path.join(out_dir, "dataset")
     os.makedirs(ds, exist_ok=True)
-    # share the heavy per-frame data; swap only the pose table + frame list
-    for entry in ("rgb", "depth", "instance", "bbox", "config.yaml",
-                  "gt_objects.json"):
+    # share EVERYTHING except the pose table + frame list (notably
+    # obj_offline/, the offline runner's per-object bbox tables — without
+    # it the runner creates 0 NeRF instances)
+    for entry in os.listdir(src):
+        if entry in ("img.txt", "groundtruth.txt"):
+            continue
         dst = os.path.join(ds, entry)
-        if not os.path.exists(dst):
+        if not os.path.lexists(dst):
             os.symlink(os.path.relpath(os.path.join(src, entry), ds), dst)
 
     name_of = {}
@@ -123,6 +126,20 @@ def main():
             name_of[key] = p[1]
             stamp_str[key] = p[0]  # keep the dataset's own formatting
 
+    # frames that the offline runner will HOLD OUT for eval (serial % 4 == 0
+    # over each object file's stamp list — mirror of offline.py's split)
+    # keep their GT poses: held-out views never train, and giving eval
+    # exact-GT poses isolates PURE supervision-pose cost (the GT ceiling
+    # also evals at exact poses; online additionally refines eval poses)
+    import glob
+    holdout_stamps = set()
+    for of in glob.glob(os.path.join(src, "obj_offline", "*.txt")):
+        rows = [l.split() for l in open(of)
+                if l.strip() and not l.startswith("#")]
+        for serial, row in enumerate(rows[1:]):  # rows[0] = header
+            if serial % 4 == 0:
+                holdout_stamps.add(round(float(row[0]), 6))
+
     # keep EVERY dataset frame so the per-object holdout split stays
     # byte-identical to the GT-pose ceiling's; the 1-2 pre-init frames the
     # SLAM run never tracked fall back to their GT pose
@@ -134,7 +151,7 @@ def main():
         for stamp, _gt_v in gt_rows:
             if stamp not in name_of:
                 continue
-            if stamp in est:
+            if stamp in est and stamp not in holdout_stamps:
                 v = est[stamp]
                 Rw = R @ quat_to_rot(v[3:7])  # into GT gauge (scale-free)
                 tw = s * R @ v[:3] + t
