@@ -89,7 +89,7 @@ def adversarial_table():
 def quality_gates():
     q = _load("QUALITY.json") or {}
     print("\n## Parity gates / speed records\n")
-    for key in ("parity_gate", "parity_gate_snap"):
+    for key in ("parity_gate", "parity_gate_unsnapped"):
         if key in q:
             print(f"- {key}: {json.dumps(q[key])}")
     for key in ("psnr_hashgrid_seeds", "speeds_r5_snap"):
