@@ -76,10 +76,13 @@ class EncodingConfig:
     # (mxgrid.MXGridSpec.snap_levels): coarse hats are snapped to fine-grid
     # knots and the fold matrix is absorbed into the line weights per step.
     # Cuts the kernel's VPU hat-build and CP-matmul work ~2.7x at the
-    # flagship ladder. Slightly different (equally valid) basis — gated by
-    # the 3-seed 0.5 dB parity gate before default flip. MX_SNAP=1/0
-    # overrides at runtime for A/B runs.
-    mx_snap_levels: bool = False
+    # flagship ladder. Slightly different (equally valid) basis. Default ON
+    # since round 5 on three-way evidence: bench 936.29 vs 738.17
+    # obj-iters/s, its OWN 3-seed parity gate at 0.052 dB (tighter than
+    # the unsnapped 0.189), and an end-to-end online run within noise of
+    # the unsnapped row (21.19 vs 21.39 dB, IoU 0.990 both, seed 1).
+    # MX_SNAP=1/0 overrides at runtime for A/B runs.
+    mx_snap_levels: bool = True
     # hash-grid (tcnn-parity path) lookup implementation:
     # "gather" = direct XLA gather + scatter-add transpose;
     # "sorted" = argsort indices once, then sorted gather + sorted

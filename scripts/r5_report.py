@@ -62,11 +62,31 @@ def seed_table():
               f"| {c} | {gap} | {r['mask_iou']} |")
     if gaps:
         print(f"\nmean gap (plain online): **{sum(gaps)/len(gaps):.2f} dB** "
-              f"(round-4 study: 1.37 dB against leaky ceilings)")
+              f"(round-4 study: 1.37 dB against leaky ceilings, with the "
+              f"wave-budget compounding bug's extra compute)")
     if jba_gaps:
         print(f"mean gap (+joint BA, {len(jba_gaps)} seeds): "
               f"**{sum(jba_gaps)/len(jba_gaps):.2f} dB** — same-config mean, "
               f"not best-of-two")
+    # supervision-pose-cost probes (scripts/slam_pose_ceiling.py): the
+    # ceiling re-trained at Sim3-aligned SLAM poses, GT poses on eval views
+    rows = []
+    for s in sorted(by_seed):
+        p = _load(f"output/slam_pose_ceiling_seed{s}/eval.json")
+        c = _load(f"output/ceiling_r5_seed{s}/eval.json")
+        if p and c and p.get("aggregate"):
+            rows.append((s, p["aggregate"]["mean_psnr_db"],
+                         c["aggregate"]["mean_psnr_db"]))
+    if rows:
+        print("\n### Pose-cost attribution (naive SLAM-pose training vs "
+              "GT-pose ceiling)\n")
+        print("| seed | ceiling@SLAM poses | ceiling@GT | naive pose cost | "
+              "online gap (= after pipeline pose treatment) |")
+        print("|---|---|---|---|---|")
+        for s, pp, cc in rows:
+            ceil = _load(f"output/ceiling_r5_seed{s}/eval.json")
+            og = round(cc - by_seed[s]["psnr_db"], 2) if s in by_seed else None
+            print(f"| {s} | {pp} | {cc} | {round(cc - pp, 2)} | {og} |")
 
 
 def adversarial_table():
