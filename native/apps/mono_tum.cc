@@ -1029,6 +1029,21 @@ int main(int argc, char** argv) {
   }
 
   dump_state();  // FrameTrajectory.txt + objects.txt + map_points.txt
+
+  // diagnostic: per-object associated map points (id x y z per row) —
+  // separates point-cloud contamination from cuboid-frame error when a
+  // cuboid scores badly. Safe here: mapping is stopped.
+  if (std::getenv("ROMAP_DUMP_OBJPTS")) {
+    FILE* f = std::fopen((out_dir + "/object_points.txt").c_str(), "w");
+    if (f) {
+      for (ObjectMap* obj : tracker.map().Objects())
+        for (const MapPoint* p : obj->points)
+          if (!p->bad)
+            std::fprintf(f, "%ld %.4f %.4f %.4f\n", obj->id, p->pos[0],
+                         p->pos[1], p->pos[2]);
+      std::fclose(f);
+    }
+  }
   std::printf("saved trajectories + objects to %s\n", out_dir.c_str());
   return 0;
 }

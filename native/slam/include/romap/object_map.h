@@ -98,7 +98,8 @@ class ObjectMap {
   // point-cloud-only. Beyond the reference (cloud extents only,
   // ref src/ObjectMap.cc:613-672).
   bool SilhouetteExtentBounds(const Mat3& r, const Vec3& center_w,
-                              float out[3], bool tight[3]) const;
+                              const float prior_ext[3], float out[3],
+                              bool tight[3]) const;
 
   void SetBad(const std::string& reason);
   bool IsBad() const { return bad_; }
@@ -142,7 +143,12 @@ class ObjectMap {
   // yaw histogram: bucket -> (count, mean score, mean yaw)
   std::map<int, cv::Vec3d> yaw_scores;
 
+  // base frame rotating the cuboid's yaw axis onto the estimated scene-up
+  // (identity = reference convention, see UpAlignedBase in object_map.cc)
+  Mat3 r_up = Mat3::eye();
+
  private:
+  Mat3 UpAlignedBase() const;
   float YawError(const Mat3& sample_r, const Vec3& t_wobj,
                  const FrameContext& frame,
                  std::vector<std::vector<int>>* assoc_lines) const;
