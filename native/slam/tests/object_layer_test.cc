@@ -2,6 +2,7 @@
 // EIF outlier detection, box-plot depth filter, line merging, cuboid pose
 // (yaw from lines + PCA fallback), shape, association, merging.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdio>
 #include <random>
@@ -190,6 +191,89 @@ int TestPoseFromLinesAndShape() {
   return 0;
 }
 
+
+int TestUpAlignedFrameAndCloudYaw() {
+  // Box yawed 20 deg about WORLD z, observed from a PITCHED orbit (the
+  // cameras sit above the object and look down ~31 deg). With the
+  // reference convention the cuboid frame would be the SLAM-world z =
+  // tilted camera frame and every extent inflates toward the diagonal;
+  // the up-aligned base (camera x-axis null space) + cloud yaw (no line
+  // evidence here) must recover the true frame and extents.
+  float yaw_true = 20.0f * static_cast<float>(M_PI) / 180.0f;
+  Mat3 r = YawRotation(yaw_true);
+  const Vec3 half(0.6f, 0.35f, 0.25f);
+  // SURFACE samples (like triangulated points): random box faces
+  std::vector<MapPoint> pts;
+  std::uniform_real_distribution<float> u01(0.0f, 1.0f);
+  for (int i = 0; i < 400; ++i) {
+    int face = static_cast<int>(u01(g_rng) * 6) % 6;
+    Vec3 local((u01(g_rng) * 2 - 1) * half[0], (u01(g_rng) * 2 - 1) * half[1],
+               (u01(g_rng) * 2 - 1) * half[2]);
+    local[face / 2] = (face % 2 ? 1.0f : -1.0f) * half[face / 2];
+    pts.push_back({r * local, false, {}});
+  }
+  ObjectConfig cfg;
+  ObjectMap obj(1, 5, cfg);
+  std::vector<MapPoint*> ptrs;
+  for (auto& p : pts) ptrs.push_back(&p);
+  obj.AddNewPoints(ptrs, 5);
+  obj.n_obs = 12;
+  obj.latest_obs_frame_id = 5;
+
+  // pitched look-at orbit over a 120-deg arc; history bboxes are the
+  // projected bounding rects of the true box corners (exact silhouettes)
+  FrameContext last_frame;
+  for (int k = 0; k < 12; ++k) {
+    float th = (k / 11.0f) * 2.1f;
+    Vec3 cam_pos(2.5f * std::cos(th), 2.5f * std::sin(th), 1.5f);
+    FrameContext f = MakeFrame(cam_pos, 10 + k);
+    float x0 = 1e9f, y0 = 1e9f, x1 = -1e9f, y1 = -1e9f;
+    for (int c = 0; c < 8; ++c) {
+      Vec3 corner((c & 1 ? 1 : -1) * half[0], (c & 2 ? 1 : -1) * half[1],
+                  (c & 4 ? 1 : -1) * half[2]);
+      cv::Point2f uv = f.cam.Project(f.tcw * (r * corner));
+      x0 = std::min(x0, uv.x); y0 = std::min(y0, uv.y);
+      x1 = std::max(x1, uv.x); y1 = std::max(y1, uv.y);
+    }
+    Bbox bb;
+    bb.rect = {x0, y0, x1 - x0, y1 - y0};
+    obj.InsertHistoryBboxAndTwc(f, bb);
+    last_frame = f;
+  }
+
+  obj.latest_lines.clear();  // no line evidence: the cloud yaw must carry
+  for (int rep = 0; rep < 3; ++rep) obj.EstimatePose(last_frame);
+  obj.EstimateShape();
+
+  // the cuboid's yaw axis must be the WORLD up, not the tilted camera z
+  Vec3 obj_z(obj.t_obj_w.R(2, 0), obj.t_obj_w.R(2, 1), obj.t_obj_w.R(2, 2));
+  CHECK(std::abs(obj_z[2]) > 0.996f);  // within ~5 deg of world up
+  // yaw recovered mod the box's 90-deg symmetry
+  Mat3 rel = obj.t_obj_w.R * r;
+  float ang = std::atan2(rel(1, 0), rel(0, 0));
+  float folded = std::fmod(std::abs(ang) + static_cast<float>(M_PI) / 4,
+                           static_cast<float>(M_PI) / 2) -
+                 static_cast<float>(M_PI) / 4;
+  CHECK(std::abs(folded) < 0.12f);
+  // extents within 20% (sorted: the yaw gauge may swap x/y)
+  float est[3] = {obj.shape.a1, obj.shape.a2, obj.shape.a3};
+  float want[3] = {half[0], half[1], half[2]};
+  std::sort(est, est + 3);
+  std::sort(want, want + 3);
+  std::printf("up-aligned cuboid: est %.3f %.3f %.3f want %.3f %.3f %.3f\n",
+              est[0], est[1], est[2], want[0], want[1], want[2]);
+  // extents tolerance is deliberately loose here: with only 12 views the
+  // blind-axis floor (0.8x transverse) and the corner-rect silhouettes
+  // dominate the small axes (measured est 0.35/0.44/0.68 vs true
+  // 0.25/0.35/0.60). The guarded regression is the TILTED-FRAME failure,
+  // which put two axes at 1.5-1.8x — the frame checks above are the
+  // teeth; this bound just keeps the estimator inside the NeRF-volume
+  // sanity band.
+  for (int a = 0; a < 3; ++a)
+    CHECK(est[a] < 1.45f * want[a] && est[a] > 0.6f * want[a]);
+  return 0;
+}
+
 int TestAssociationAndMerge() {
   ObjectConfig cfg;
   auto pts_a = MakeCluster(80, {0, 0, 0}, 0.2f);
@@ -356,6 +440,7 @@ int main() {
   rc |= TestBoxPlotFilter();
   rc |= TestMergeLines();
   rc |= TestPoseFromLinesAndShape();
+  rc |= TestUpAlignedFrameAndCloudYaw();
   rc |= TestAssociationAndMerge();
   rc |= TestTTable();
   rc |= TestSilhouetteCenter();
